@@ -1,0 +1,187 @@
+"""orca-tpu command-line interface.
+
+Prediction modes mirror the reference CLI (orca_predict.py:3168-3391):
+  region | del | dup | inv | break  <coordinate> <output_dir>
+plus framework utilities:
+  build-genome  — FASTA -> uint8 code memmap (replaces make_genome_memmap.py)
+  convert       — torch statedicts -> orca_tpu bundle pickles
+  expectation   — cooltools expected TSV -> .npy expectation files
+  bench         — run the standard throughput benchmark
+
+Coordinates: 'chr1:1000000-2000000' for region/del/dup/inv;
+'chr1:1000000|chr2:2000000|+-' for break (two breakpoints + orientations).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import re
+import sys
+
+
+def _parse_coordinate(s: str):
+    chrstr, coordstr = s.split(":")
+    chrstr = "chr" + chrstr.replace("chr", "")
+    start, end = coordstr.replace(",", "").split("-")
+    return chrstr, int(start), int(end)
+
+
+def _parse_breakpoint(s: str):
+    p1, p2, orient = s.split("|")
+    chr1, pos1 = p1.split(":")
+    chr2, pos2 = p2.split(":")
+    return (
+        "chr" + chr1.replace("chr", ""), int(pos1.replace(",", "")),
+        "chr" + chr2.replace("chr", ""), int(pos2.replace(",", "")),
+        orient[0], orient[1],
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="orca-tpu",
+        description="TPU-native multiscale genome interaction prediction",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for mode in ("region", "del", "dup", "inv", "break"):
+        p = sub.add_parser(mode, help=f"{mode} prediction")
+        p.add_argument("coordinate")
+        p.add_argument("output_dir")
+        p.add_argument("--show-genes", action="store_true")
+        p.add_argument("--show-tracks", action="store_true")
+        p.add_argument("--use-256m", "--256m", dest="use_256m",
+                       action="store_true", help="use 32-256Mb models")
+        p.add_argument("--coor-filename", action="store_true",
+                       help="include coordinate in output filenames")
+        p.add_argument("--model-dir", default=None)
+        p.add_argument("--resource-dir", default=None)
+        p.add_argument("--no-target", action="store_true",
+                       help="skip observed micro-C retrieval")
+
+    p = sub.add_parser("build-genome", help="FASTA -> code memmap")
+    p.add_argument("fasta")
+    p.add_argument("memmap")
+
+    p = sub.add_parser("convert", help="torch statedicts -> bundle pickle")
+    p.add_argument("family", choices=["32m", "1m", "256m"])
+    p.add_argument("name", help="h1esc | hff | hctnoc")
+    p.add_argument("out")
+    p.add_argument("--model-dir", default=None)
+    p.add_argument("--resource-dir", default=None)
+
+    p = sub.add_parser("expectation", help="cooltools expected TSV -> npy")
+    p.add_argument("tsv")
+    p.add_argument("resolution", type=int)
+
+    p = sub.add_parser("bench", help="run the standard benchmark")
+
+    args = parser.parse_args(argv)
+
+    if args.command == "build-genome":
+        from orca_tpu.data.genome import MemmapGenome
+
+        MemmapGenome.build(args.fasta, args.memmap)
+        print(f"wrote {args.memmap} (+ .json index)")
+        return 0
+
+    if args.command == "convert":
+        from orca_tpu.models import zoo
+        from orca_tpu.utils.config import get_config
+
+        cfg = get_config()
+        model_dir = args.model_dir or cfg.model_dir
+        resource_dir = args.resource_dir or cfg.resource_dir
+        loader = {
+            "32m": zoo.load_32m_bundle,
+            "1m": zoo.load_1m_bundle,
+            "256m": zoo.load_256m_bundle,
+        }[args.family]
+        bundle = loader(model_dir, resource_dir, args.name)
+        zoo.save_bundle(bundle, args.out)
+        print(f"wrote {args.out}")
+        return 0
+
+    if args.command == "expectation":
+        from orca_tpu.data.expectation import process_expectation_tsv
+
+        process_expectation_tsv(args.tsv, args.resolution)
+        print(f"wrote {args.tsv}.npy / .mono.npy")
+        return 0
+
+    if args.command == "bench":
+        import runpy
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        runpy.run_module("bench", run_name="__main__")
+        return 0
+
+    # prediction modes
+    from orca_tpu.predict import pipelines
+    from orca_tpu.predict.resources import load_resources
+
+    window_radius = 128000000 if args.use_256m else 16000000
+    res = load_resources(
+        models=["256M" if args.use_256m else "32M"],
+        model_dir=args.model_dir, resource_dir=args.resource_dir,
+    )
+    if res.genome is None:
+        parser.error("no genome resources found (see --resource-dir)")
+
+    if args.use_256m:
+        models = res.bundles(["h1esc_256m", "hff_256m"])
+        targets = (
+            [res.targets.get("h1esc_256m"), res.targets.get("hff_256m")]
+            if res.target_available and not args.no_target else None
+        )
+    else:
+        models = res.bundles(["h1esc", "hff"])
+        targets = (
+            [res.targets.get("h1esc"), res.targets.get("hff")]
+            if res.target_available and not args.no_target else None
+        )
+    model_labels = ["H1-ESC", "HFF"]
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    suffix = (
+        "_" + re.sub(r'[\\/*?:"<>|]', "_", args.coordinate)
+        if args.coor_filename else ""
+    )
+    file_prefix = os.path.join(args.output_dir, "orca_pred" + suffix)
+    common = dict(
+        genome=res.genome, models=models, targets=targets, file=file_prefix,
+        show_genes=args.show_genes, show_tracks=args.show_tracks,
+        window_radius=window_radius, model_labels=model_labels,
+    )
+
+    if args.command == "region":
+        chrom, start, end = _parse_coordinate(args.coordinate)
+        outputs = pipelines.process_region(chrom, start, end, **common)
+    elif args.command == "del":
+        chrom, start, end = _parse_coordinate(args.coordinate)
+        outputs = pipelines.process_del(chrom, start, end, **common)
+    elif args.command == "dup":
+        chrom, start, end = _parse_coordinate(args.coordinate)
+        outputs = pipelines.process_dup(chrom, start, end, **common)
+    elif args.command == "inv":
+        chrom, start, end = _parse_coordinate(args.coordinate)
+        outputs = pipelines.process_inv(chrom, start, end, **common)
+    elif args.command == "break":
+        chr1, pos1, chr2, pos2, o1, o2 = _parse_breakpoint(args.coordinate)
+        outputs = pipelines.process_single_breakpoint(
+            chr1, pos1, chr2, pos2, o1, o2, **common
+        )
+    else:
+        parser.error(f"unknown command {args.command}")
+
+    with open(file_prefix + ".pkl", "wb") as f:
+        pickle.dump(outputs, f)
+    print(f"wrote {file_prefix}.pkl")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

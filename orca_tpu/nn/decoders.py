@@ -1,0 +1,311 @@
+"""Orca 2D decoders and the integrated 1Mb model, TPU-native.
+
+  * `decoder_*`: per-level pairwise decoder with distance encoding and
+    optional coarse-prediction refinement (reference `Decoder`,
+    orca_modules.py:16-488). `num_2d` generalizes the output heads to the
+    multi-cell-type variants (orca_leukemia.py:426-431).
+  * `decoder1m_*`: the simpler 19-block decoder used by the 1Mb model
+    (reference `Decoder_1m`, orca_modules.py:491-800).
+  * `net_*`: integrated 1Mb model = encoder tower + decoder1m 2D stack +
+    optional 1D chromatin-track head (reference `Net`,
+    orca_modules.py:1409-1901).
+
+All 2D work is NHWC on 250x250 maps with 32..128 channels.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from orca_tpu.nn.core import (
+    Block,
+    BNUpdates,
+    Unit,
+    apply_block,
+    conv_pair_2d,
+    init_block,
+)
+from orca_tpu.nn import encoders
+from orca_tpu.ops import nn_ops
+
+# Dilation schedules (orca_modules.py): Decoder uses 4 groups of
+# (1,2,4,8,16,32,64); Decoder_1m/Net use 1 group of 7 then 2 groups of 6.
+DILATIONS_DECODER = (1, 2, 4, 8, 16, 32, 64) * 4
+DILATIONS_1M = (1, 2, 4, 8, 16, 32, 64) + (2, 4, 8, 16, 32, 64) * 2
+
+
+def pairwise(x: jax.Array) -> jax.Array:
+    """(N, L, C) -> (N, L, L, C) outer sum: mat[i,j] = x[i] + x[j].
+
+    Matches reference `x[:,:,:,None] + x[:,:,None,:]` in NCHW
+    (orca_modules.py:462) transposed to NHWC.
+    """
+    return x[:, :, None, :] + x[:, None, :, :]
+
+
+def _head_block(num_2d: int) -> Block:
+    cmid = max(num_2d, 5)
+    return Block(
+        units=(
+            Unit(2, 64, cmid, k=1, bn=True, relu=True),
+            Unit(2, cmid, num_2d, k=1, bn=False),
+        )
+    )
+
+
+def decoder_spec(num_2d: int = 1) -> dict:
+    twos = [
+        conv_pair_2d(64, 32, 64, d, relu=False, dropout=0.1 if i == 0 else 0.0)
+        for i, d in enumerate(DILATIONS_DECODER)
+    ]
+    twos_relu = [conv_pair_2d(64, 32, 64, d, relu=True) for d in DILATIONS_DECODER]
+    return {
+        "lcombinerD": Block(
+            units=(
+                Unit(2, 128 + num_2d, 64, k=3),
+                Unit(2, 64, 64, k=3),
+            )
+        ),
+        "combinerD": Block(
+            units=(Unit(2, 64, 64, k=3, relu=True), Unit(2, 64, 64, k=3, relu=True))
+        ),
+        "lcombiner": Block(
+            units=(
+                Unit(2, 64 + num_2d, 64, k=3, dropout=0.1),
+                Unit(2, 64, 64, k=3),
+            )
+        ),
+        "combiner": Block(
+            units=(Unit(2, 64, 64, k=3, relu=True), Unit(2, 64, 64, k=3, relu=True))
+        ),
+        "lconvtwos": twos,
+        "convtwos": twos_relu,
+        "final": _head_block(num_2d),
+    }
+
+
+def init_decoder(rng, num_2d: int = 1, dtype=jnp.float32) -> dict:
+    return _init_from_spec(rng, decoder_spec(num_2d), dtype)
+
+
+def _init_from_spec(rng, spec, dtype):
+    params = {}
+    keys = jax.random.split(rng, len(spec))
+    for key, (name, node) in zip(keys, spec.items()):
+        if name.startswith("_"):
+            continue
+        if isinstance(node, Block):
+            params[name] = init_block(key, node, dtype)
+        else:
+            params[name] = [
+                init_block(r, b, dtype)
+                for r, b in zip(jax.random.split(key, len(node)), node)
+            ]
+    return params
+
+
+def _upsample_coarse(y: jax.Array, mode: str) -> jax.Array:
+    if mode == "bilinear":
+        return nn_ops.upsample2d_bilinear(y, 2)
+    return nn_ops.upsample2d_nearest(y, 2)
+
+
+def symmetrize(m: jax.Array) -> jax.Array:
+    """0.5*(M + M^T) over the two spatial axes of NHWC."""
+    return 0.5 * m + 0.5 * jnp.swapaxes(m, 1, 2)
+
+
+def apply_decoder(
+    params: dict,
+    x: jax.Array,
+    distenc: jax.Array,
+    y: Optional[jax.Array] = None,
+    *,
+    num_2d: int = 1,
+    upsample_mode: str = "bilinear",
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    bn_updates: Optional[BNUpdates] = None,
+    path: str = "",
+) -> jax.Array:
+    """Per-level decoder forward (reference Decoder.forward,
+    orca_modules.py:461-488).
+
+    x: (N, 250, 128) encoding crop; distenc: (N, 250, 250, num_2d) log
+    background; y: optional (N, 125, 125, num_2d) coarse prediction from the
+    parent level. Returns (N, 250, 250, num_2d) symmetric map.
+    """
+    spec = decoder_spec(num_2d)
+    pre = f"{path}/" if path else ""
+    kw = dict(train=train, rng=rng, bn_updates=bn_updates)
+
+    mat = jnp.concatenate([pairwise(x), distenc], axis=-1)
+    mat = apply_block(params["lcombinerD"], spec["lcombinerD"], mat,
+                      path=f"{pre}lcombinerD", **kw)
+    mat = apply_block(params["combinerD"], spec["combinerD"], mat,
+                      path=f"{pre}combinerD", **kw) + mat
+
+    if y is not None:
+        mat = jnp.concatenate([mat, _upsample_coarse(y, upsample_mode)], axis=-1)
+    cur = mat
+    for i, (lb, lp, cb, cp) in enumerate(
+        zip(spec["lconvtwos"], params["lconvtwos"],
+            spec["convtwos"], params["convtwos"])
+    ):
+        if i == 0:
+            if y is not None:
+                # With a coarse pred, the first dilation block is replaced by
+                # the combiner pair (orca_modules.py:472-478).
+                cur = apply_block(params["lcombiner"], spec["lcombiner"], cur,
+                                  path=f"{pre}lcombiner", **kw)
+                cur = (
+                    apply_block(params["combiner"], spec["combiner"], cur,
+                                path=f"{pre}combiner", **kw)
+                    + cur
+                )
+            else:
+                cur = apply_block(lp, lb, cur, path=f"{pre}lconvtwos/{i}", **kw)
+                cur = apply_block(cp, cb, cur, path=f"{pre}convtwos/{i}",
+                                  **kw) + cur
+        else:
+            cur = apply_block(lp, lb, cur, path=f"{pre}lconvtwos/{i}", **kw) + cur
+            cur = apply_block(cp, cb, cur, path=f"{pre}convtwos/{i}", **kw) + cur
+    cur = apply_block(params["final"], spec["final"], cur,
+                      path=f"{pre}final", **kw)
+    return symmetrize(cur)
+
+
+# --------------------------------------------------------------------------
+# Decoder_1m — 19-block decoder over the raw 128ch pairwise map
+# --------------------------------------------------------------------------
+
+
+def decoder1m_spec(num_2d: int = 1) -> dict:
+    twos = [
+        conv_pair_2d(
+            128 if i == 0 else 64, 32, 64, d,
+            relu=False, dropout=0.1 if i == 0 else 0.0,
+        )
+        for i, d in enumerate(DILATIONS_1M)
+    ]
+    twos_relu = [conv_pair_2d(64, 32, 64, d, relu=True) for d in DILATIONS_1M]
+    return {"lconvtwos": twos, "convtwos": twos_relu, "final": _head_block(num_2d)}
+
+
+def init_decoder1m(rng, num_2d: int = 1, dtype=jnp.float32) -> dict:
+    return _init_from_spec(rng, decoder1m_spec(num_2d), dtype)
+
+
+def apply_decoder1m_mat(
+    params: dict,
+    mat: jax.Array,
+    *,
+    num_2d: int = 1,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    bn_updates: Optional[BNUpdates] = None,
+    path: str = "",
+) -> jax.Array:
+    """2D stack over an already-built pairwise map (N, 250, 250, 128)."""
+    spec = decoder1m_spec(num_2d)
+    pre = f"{path}/" if path else ""
+    kw = dict(train=train, rng=rng, bn_updates=bn_updates)
+    cur = mat
+    for i, (lb, lp, cb, cp) in enumerate(
+        zip(spec["lconvtwos"], params["lconvtwos"],
+            spec["convtwos"], params["convtwos"])
+    ):
+        lout = apply_block(lp, lb, cur, path=f"{pre}lconvtwos/{i}", **kw)
+        # First block maps 128->64 channels, so no residual on the l-branch
+        # (orca_modules.py:787-798).
+        cur = lout if i == 0 else lout + cur
+        cur = apply_block(cp, cb, cur, path=f"{pre}convtwos/{i}", **kw) + cur
+    cur = apply_block(params["final"], spec["final"], cur,
+                      path=f"{pre}final", **kw)
+    return symmetrize(cur)
+
+
+def apply_decoder1m(params: dict, x: jax.Array, **kwargs) -> jax.Array:
+    """(N, 250, 128) encoding -> (N, 250, 250, num_2d) map."""
+    return apply_decoder1m_mat(params, pairwise(x), **kwargs)
+
+
+# --------------------------------------------------------------------------
+# Net — integrated 1Mb model
+# --------------------------------------------------------------------------
+
+
+def final1d_spec(num_1d: int) -> Block:
+    return Block(
+        units=(
+            Unit(1, 128, 128, k=1, bn=True, relu=True),
+            Unit(1, 128, num_1d, k=1, bn=False, sigmoid=True),
+        )
+    )
+
+
+def init_net(rng, num_1d: Optional[int] = None, num_2d: int = 1,
+             dtype=jnp.float32) -> dict:
+    ke, kd, k1 = jax.random.split(rng, 3)
+    params = {
+        "encoder": encoders.init_encoder_tower(ke, dtype),
+        "decoder": init_decoder1m(kd, num_2d, dtype),
+    }
+    if num_1d:
+        params["final_1d"] = init_block(k1, final1d_spec(num_1d), dtype)
+    return params
+
+
+def apply_net(
+    params: dict,
+    x: jax.Array,
+    *,
+    num_1d: Optional[int] = None,
+    num_2d: int = 1,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+    bn_updates: Optional[BNUpdates] = None,
+    remat: bool = False,
+):
+    """1Mb model forward: (N, 1e6, 4) -> ((N, 250, 250, num_2d), (N, 250, num_1d)?).
+
+    With remat=True the encoder and 2D stack are wrapped in jax.checkpoint,
+    mirroring the reference's 4-segment torch checkpointing
+    (orca_modules.py:1862-1895) via XLA rematerialization.
+    """
+    kw = dict(train=train, rng=rng)
+
+    # BN running-stat updates are returned as explicit outputs of the
+    # checkpointed segments (side-collected tracers may not escape
+    # jax.checkpoint), then merged into the caller's collector.
+    def run_encoder(p, x):
+        local = BNUpdates() if bn_updates is not None else None
+        out = encoders.apply_encoder_stages(
+            p, x, bn_updates=local, path="encoder", **kw
+        )
+        return out, (local.updates if local else {})
+
+    def run_decoder(p, mat):
+        local = BNUpdates() if bn_updates is not None else None
+        out = apply_decoder1m_mat(
+            p, mat, num_2d=num_2d, bn_updates=local, path="decoder", **kw
+        )
+        return out, (local.updates if local else {})
+
+    if remat:
+        run_encoder = jax.checkpoint(run_encoder)
+        run_decoder = jax.checkpoint(run_decoder)
+
+    out7, enc_updates = run_encoder(params["encoder"], x)
+    pred, dec_updates = run_decoder(params["decoder"], pairwise(out7))
+    if bn_updates is not None:
+        bn_updates.updates.update(enc_updates)
+        bn_updates.updates.update(dec_updates)
+    if num_1d:
+        out1d = apply_block(params["final_1d"], final1d_spec(num_1d), out7,
+                            path="final_1d", bn_updates=bn_updates, **kw)
+        return pred, out1d
+    return pred

@@ -1,0 +1,505 @@
+"""Multiscale zoom-in prediction cascades (TPU-jitted).
+
+The reference implements the cascade as a host loop of torch calls with
+shape-changing crops (orca_predict.py:231-540 `genomepredict`, :543-878
+`genomepredict_256Mb`). Here the entire cascade — forward and
+reverse-complement passes, zoom-index arithmetic, per-level decoding and
+fwd/RC averaging — is a single jitted program per model with static shapes:
+crops are `lax.dynamic_slice` with traced start indices, so any zoom target
+reuses one compilation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from orca_tpu.models.zoo import (
+    LEVELS_32M,
+    LEVELS_256M,
+    Model256MBundle,
+    ModelBundle,
+)
+from orca_tpu.nn import decoders, encoders
+from orca_tpu.utils.config import get_config
+
+BINS = 8000  # 4kb bins in a 32Mb window; 32kb bins in a 256Mb window
+CROP = 250
+HALF = 125
+
+
+@dataclasses.dataclass(frozen=True)
+class CascadeGeometry:
+    """Static shape parameters of a zoom cascade.
+
+    The production values reproduce the reference exactly (window 32Mb at
+    4kb bins / 256Mb at 32kb bins, 250-bin decoder crops); smaller
+    geometries let the identical cascade logic run in CPU tests.
+    """
+
+    window_bp: int = 32_000_000
+    bin_bp: int = 4000  # finest-level bin size in bp
+    crop: int = 250  # decoder input size in bins
+
+    @property
+    def bins(self) -> int:
+        return self.window_bp // self.bin_bp
+
+    @property
+    def half(self) -> int:
+        return self.crop // 2
+
+    def span_bp(self, m: int) -> int:
+        """Window span of a level whose bins are `m` finest bins wide."""
+        return self.crop * self.bin_bp * m
+
+
+GEOM_32M = CascadeGeometry(32_000_000, 4000, 250)
+GEOM_256M = CascadeGeometry(256_000_000, 32000, 250)
+
+
+def _encode_32mb(bundle: ModelBundle, seq: jax.Array) -> Dict[int, jax.Array]:
+    """One-hot (1, L, 4) -> encodings at levels 1..32 (finest L/4000 bins)."""
+    cfg = get_config()
+    feats = encoders.apply_encoder_tower(
+        bundle.encoder, seq, block_bp=cfg.encoder_block_bp,
+        halo_bp=cfg.encoder_halo_bp,
+    )
+    encs = encoders.apply_pyramid(
+        bundle.pyramid, feats, levels=5, up_pass=bundle.pyramid_up_pass
+    )
+    return {lv: e for lv, e in zip((1, 2, 4, 8, 16, 32), encs)}
+
+
+def _decode_level(
+    bundle: ModelBundle,
+    geom: CascadeGeometry,
+    level: int,
+    enc: jax.Array,
+    log_normmat: jax.Array,
+    start_bins: jax.Array,
+    coarse: Optional[jax.Array],
+    add_1pt: bool,
+) -> jax.Array:
+    """Decode one level: crop `geom.crop` bins at `start_bins` (units of the
+    level's bin size), returning (N, crop, crop, 1)."""
+    enc_crop = lax.dynamic_slice_in_dim(enc, start_bins, geom.crop, axis=1)
+    distenc = jnp.broadcast_to(
+        log_normmat[None, :, :, None], (enc.shape[0], geom.crop, geom.crop, 1)
+    )
+    pred = decoders.apply_decoder(
+        bundle.decoders[level],
+        enc_crop,
+        distenc,
+        coarse,
+        upsample_mode=bundle.upsample_mode,
+    )
+    if add_1pt and bundle.decoder_1pt is not None:
+        pred = pred + decoders.apply_decoder1m(bundle.decoder_1pt, enc_crop)
+    return pred
+
+
+def _zoom_start_index(geom: CascadeGeometry, m: int, mpos, wpos, start_bins,
+                      rc: bool):
+    """Zoom-window start in [0, half]; `m` is the level's bin size in finest
+    bins. Reference formulas (orca_predict.py:470-497) with 1e6*level/4 ==
+    span/4 and 16e6 == window/2 generalized."""
+    span4 = geom.span_bp(m) / 4.0
+    halfwin = geom.window_bp / 2.0
+    binw = float(geom.bin_bp)
+    if not rc:
+        raw = jnp.floor(
+            ((mpos - span4) - (wpos - halfwin + start_bins * binw)) / (binw * m)
+        )
+    else:
+        raw = jnp.ceil(
+            ((wpos + halfwin - start_bins * binw) - (mpos + span4)) / (binw * m)
+        )
+    return jnp.clip(raw, 0, geom.half).astype(jnp.int32)
+
+
+def _cascade_32mb_one_orientation(
+    bundle: ModelBundle,
+    geom: CascadeGeometry,
+    seq: jax.Array,
+    mpos: jax.Array,
+    wpos: jax.Array,
+    log_normmats: jax.Array,
+    rc: bool,
+):
+    """Run encoder + 6-level zoom cascade for one orientation.
+
+    Returns (preds: list of (N,crop,crop,1) coarsest-first, starts (6,)
+    in finest-bin units).
+    """
+    encs = _encode_32mb(bundle, seq)
+    lvl_list = sorted(bundle.decoders, reverse=True)  # [32, 16, ..., 1]
+    preds = []
+    starts = []
+    start_bins = jnp.int32(0)
+    coarse = None
+    for j, level in enumerate(lvl_list):
+        pred = _decode_level(
+            bundle,
+            geom,
+            level,
+            encs[level],
+            log_normmats[j],
+            start_bins // level,
+            coarse,
+            add_1pt=(level == 1),
+        )
+        starts.append(start_bins)
+        preds.append(pred)
+        start_index = _zoom_start_index(geom, level, mpos, wpos, start_bins, rc)
+        start_bins = start_bins + start_index * level
+        coarse = lax.dynamic_slice(
+            pred,
+            (0, start_index, start_index, 0),
+            (pred.shape[0], geom.half, geom.half, pred.shape[3]),
+        )
+    return preds, jnp.stack(starts)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _cascade_32mb(bundle: ModelBundle, geom: CascadeGeometry, seq, mpos, wpos,
+                  log_normmats):
+    """Full fwd+RC cascade; returns (stacked (6,N,crop,crop), starts (6,))."""
+    fwd, starts = _cascade_32mb_one_orientation(
+        bundle, geom, seq, mpos, wpos, log_normmats, rc=False
+    )
+    seq_rc = jnp.flip(seq, axis=(1, 2))
+    rc, _ = _cascade_32mb_one_orientation(
+        bundle, geom, seq_rc, mpos, wpos, log_normmats, rc=True
+    )
+    out = [
+        0.5 * f[..., 0] + 0.5 * jnp.flip(r[..., 0], axis=(1, 2))
+        for f, r in zip(fwd, rc)
+    ]
+    return jnp.stack(out), starts
+
+
+def _downsample_target(target: np.ndarray, start: int, factor: int,
+                       nan_thresh: float, crop_bins: int = CROP):
+    """NaN-aware block average of an observed matrix crop to crop_bins^2,
+    over an optional leading feature axis (orca_predict.py:404-435)."""
+    n = crop_bins * factor
+    squeeze = target.ndim == 2
+    if squeeze:
+        target = target[None]
+    crop = target[:, start : start + n, start : start + n]
+    r = crop.reshape(target.shape[0], crop_bins, factor, crop_bins, factor)
+    with np.errstate(invalid="ignore"):
+        avg = np.nanmean(np.nanmean(r, axis=4), axis=2)
+    nanfrac = np.isnan(r).mean(axis=(2, 4))
+    avg[nanfrac > nan_thresh] = np.nan
+    return avg[0] if squeeze else avg
+
+
+def genomepredict(
+    sequence: np.ndarray,
+    mchr: str,
+    mpos: int = -1,
+    wpos: int = -1,
+    models: Sequence[ModelBundle] = (),
+    targets: Optional[List[np.ndarray]] = None,
+    annotation=None,
+    nan_thresh: float = 1.0,
+    geometry: CascadeGeometry = GEOM_32M,
+) -> dict:
+    """Multiscale 32Mb prediction, API-compatible with the reference
+    `genomepredict` (orca_predict.py:231): returns a dict with keys
+    predictions/experiments/normmats/start_coords/end_coords/chr/annos.
+
+    sequence: (1, 32000000, 4) one-hot (length-major layout, same as the
+        reference's input convention).
+    models: ModelBundle objects (e.g. from orca_tpu.models.zoo).
+    """
+    n_models = len(models)
+    allpreds, allstarts = [], []
+    for bundle in models:
+        preds, starts = _cascade_32mb(
+            bundle,
+            geometry,
+            jnp.asarray(sequence),
+            jnp.float32(mpos),
+            jnp.float32(wpos),
+            jnp.asarray(bundle.log_normmats()),
+        )
+        allpreds.append(np.asarray(preds))
+        allstarts.append(np.asarray(starts))
+
+    lvl_list = sorted(models[0].decoders, reverse=True)
+    output = {}
+    output["predictions"] = [
+        [allpreds[i][j][0] for j in range(len(lvl_list))] for i in range(n_models)
+    ]
+    if targets is not None:
+        alltargets = []
+        for i, bundle in enumerate(models):
+            ts = []
+            for j, level in enumerate(lvl_list):
+                t = np.asarray(targets[i])
+                if t.ndim == 3 and t.shape[0] == 1:
+                    t = t[0]
+                target_r = _downsample_target(
+                    t, int(allstarts[i][j]), level, nan_thresh,
+                    crop_bins=geometry.crop,
+                )
+                eps = bundle.epss[level]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    ts.append(
+                        np.log((target_r + eps) / (bundle.normmats[level] + eps))
+                    )
+            alltargets.append(ts)
+        output["experiments"] = alltargets
+    else:
+        output["experiments"] = None
+    starts0 = allstarts[0]
+    halfwin = geometry.window_bp // 2
+    output["start_coords"] = [
+        int(wpos - halfwin + s * geometry.bin_bp) for s in starts0
+    ]
+    output["end_coords"] = [
+        int(output["start_coords"][j] + geometry.window_bp / 2**j)
+        for j in range(len(lvl_list))
+    ]
+    output["chr"] = mchr
+    output["annos"] = _process_annotation(
+        annotation, starts0, [geometry.crop * lv for lv in lvl_list],
+        geometry.bins,
+    )
+    output["normmats"] = [
+        [m.normmats[lv] for lv in lvl_list] for m in models
+    ]
+    return output
+
+
+def _process_annotation(annotation, starts, window_bins, total_bins=BINS):
+    """Window-relative annotation rescaling per level: `starts` and
+    `window_bins` are in finest-bin units (orca_predict.py:451-468)."""
+    if annotation is None:
+        return None
+    annos = []
+    for j, nbins in enumerate(window_bins):
+        newstart = starts[j] / float(total_bins)
+        newend = (starts[j] + nbins) / float(total_bins)
+        anno_r = []
+        for r in annotation:
+            if len(r) == 3:
+                if not (r[0] >= newend or r[1] <= newstart):
+                    anno_r.append(
+                        (
+                            np.fmax((r[0] - newstart) / (newend - newstart), 0),
+                            np.fmin((r[1] - newstart) / (newend - newstart), 1),
+                            r[2],
+                        )
+                    )
+            else:
+                if newstart <= r[0] < newend:
+                    anno_r.append(((r[0] - newstart) / (newend - newstart), r[1]))
+        annos.append(anno_r)
+    return annos
+
+
+# --------------------------------------------------------------------------
+# 256Mb cascade
+# --------------------------------------------------------------------------
+
+
+def _encode_256mb(bundle: Model256MBundle, seq: jax.Array) -> Dict[int, jax.Array]:
+    cfg = get_config()
+    feats = encoders.apply_encoder_tower(
+        bundle.encoder, seq, block_bp=cfg.encoder_block_bp,
+        halo_bp=cfg.encoder_halo_bp,
+    )
+    enc128k = encoders.apply_pyramid(
+        bundle.pyramid1, feats, levels=5, up_pass=True
+    )[-1]
+    encs = encoders.apply_pyramid(bundle.pyramid, enc128k, levels=3, up_pass=True)
+    return {lv: e for lv, e in zip((32, 64, 128, 256), encs)}
+
+
+def _block_average(mat: jax.Array, start: jax.Array, factor: int,
+                   crop_bins: int) -> jax.Array:
+    """Crop (crop*factor)^2 at (start, start) and block average to crop^2
+    (orca_predict.py:724-737)."""
+    n = crop_bins * factor
+    crop = lax.dynamic_slice(mat, (start, start), (n, n))
+    return crop.reshape(crop_bins, factor, crop_bins, factor).mean(axis=(1, 3))
+
+
+def _cascade_256mb_one_orientation(
+    bundle: Model256MBundle,
+    geom: CascadeGeometry,
+    seq: jax.Array,
+    mpos,
+    wpos,
+    chrlen,
+    normmat: jax.Array,
+    rc: bool,
+):
+    encs = _encode_256mb(bundle, seq)
+    lvl_list = sorted(bundle.decoders, reverse=True)  # [256, 128, 64, 32]
+    halfwin = geom.window_bp / 2.0
+    binw = float(geom.bin_bp)
+    preds, starts, norms = [], [], []
+    start_bins = jnp.int32(0)
+    coarse = None
+    for j, level in enumerate(lvl_list):
+        factor = geom.bins // (geom.crop * 2**j)  # == level // 8 in production
+        normmat_r = _block_average(normmat, start_bins, factor, geom.crop)
+        distenc_2d = jnp.log(normmat_r)
+        if rc:
+            distenc_2d = jnp.flip(distenc_2d, axis=(0, 1))
+        enc_crop = lax.dynamic_slice_in_dim(
+            encs[level], start_bins // factor, geom.crop, axis=1
+        )
+        pred = decoders.apply_decoder(
+            bundle.decoders[level],
+            enc_crop,
+            jnp.broadcast_to(
+                distenc_2d[None, :, :, None],
+                (seq.shape[0], geom.crop, geom.crop, 1),
+            ),
+            coarse,
+            upsample_mode=bundle.upsample_mode,
+        )
+        preds.append(pred)
+        starts.append(start_bins)
+        norms.append(normmat_r)
+
+        # Zoom proposal with chromosome-boundary clamping
+        # (orca_predict.py:813-833).
+        span = float(geom.span_bp(factor))
+        if not rc:
+            proposed = (mpos - span / 4) - (wpos - halfwin + start_bins * binw)
+        else:
+            proposed = (mpos - span / 4) - (
+                wpos + halfwin - start_bins * binw - span
+            )
+        b0 = 0.0 - (wpos - halfwin)
+        b1 = chrlen - span / 2 - (wpos - halfwin)
+        proposed = jnp.where(b0 < b1, jnp.clip(proposed, b0, b1), b0)
+        start_index = jnp.clip(
+            jnp.floor(proposed / (binw * factor)), 0, geom.half
+        ).astype(jnp.int32)
+        if rc:
+            start_index = geom.crop - (start_index + geom.half)
+        start_bins = start_bins + start_index * factor
+        coarse = lax.dynamic_slice(
+            pred,
+            (0, start_index, start_index, 0),
+            (pred.shape[0], geom.half, geom.half, pred.shape[3]),
+        )
+    return preds, jnp.stack(starts), norms
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _cascade_256mb(bundle: Model256MBundle, geom: CascadeGeometry, seq, mpos,
+                   wpos, chrlen, normmat):
+    fwd, starts, norms = _cascade_256mb_one_orientation(
+        bundle, geom, seq, mpos, wpos, chrlen, normmat, rc=False
+    )
+    seq_rc = jnp.flip(seq, axis=(1, 2))
+    rc, _, _ = _cascade_256mb_one_orientation(
+        bundle, geom, seq_rc, mpos, wpos, chrlen, normmat, rc=True
+    )
+    out = [
+        0.5 * f[..., 0] + 0.5 * jnp.flip(r[..., 0], axis=(1, 2))
+        for f, r in zip(fwd, rc)
+    ]
+    return jnp.stack(out), starts, jnp.stack(norms)
+
+
+def genomepredict_256mb(
+    sequence: np.ndarray,
+    mchr: str,
+    normmats: List[np.ndarray],
+    chrlen: int,
+    mpos: int = -1,
+    wpos: int = -1,
+    models: Sequence[Model256MBundle] = (),
+    targets: Optional[List[np.ndarray]] = None,
+    annotation=None,
+    padding_chr: Optional[str] = None,
+    nan_thresh: float = 1.0,
+    geometry: CascadeGeometry = GEOM_256M,
+) -> dict:
+    """256Mb multiscale prediction (reference genomepredict_256Mb,
+    orca_predict.py:543). `normmats` are per-region 8000x8000 backgrounds at
+    32kb resolution (cis distance lookup + trans fill), one per model."""
+    n_models = len(models)
+    allpreds, allstarts, allnormmats = [], [], []
+    for ii, bundle in enumerate(models):
+        normmat = np.array(normmats[ii], dtype=np.float32)
+        mask = np.isnan(normmat)
+        if mask.any():
+            normmat[mask] = np.nanmin(normmat[~mask]) if (~mask).any() else 1.0
+        preds, starts, norms = _cascade_256mb(
+            bundle,
+            geometry,
+            jnp.asarray(sequence),
+            jnp.float32(mpos),
+            jnp.float32(wpos),
+            jnp.float32(chrlen),
+            jnp.asarray(normmat),
+        )
+        allpreds.append(np.asarray(preds))
+        allstarts.append(np.asarray(starts))
+        allnormmats.append(np.asarray(norms))
+
+    lvl_list = sorted(models[0].decoders, reverse=True)
+    output = {}
+    output["predictions"] = [
+        [allpreds[i][j][0] for j in range(len(lvl_list))] for i in range(n_models)
+    ]
+    if targets is not None:
+        alltargets = []
+        for i, bundle in enumerate(models):
+            ts = []
+            for j, level in enumerate(lvl_list):
+                t = np.asarray(targets[i])
+                if t.ndim == 3 and t.shape[0] == 1:
+                    t = t[0]
+                factor = geometry.bins // (geometry.crop * 2**j)
+                target_r = _downsample_target(
+                    t, int(allstarts[i][j]), factor, nan_thresh,
+                    crop_bins=geometry.crop,
+                )
+                normmat_r = allnormmats[i][j]
+                eps = float(np.nanmin(normmat_r))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    ts.append(np.log((target_r + eps) / (normmat_r + eps)))
+            alltargets.append(ts)
+        output["experiments"] = alltargets
+    else:
+        output["experiments"] = None
+    starts0 = allstarts[0]
+    halfwin = geometry.window_bp // 2
+    output["start_coords"] = [
+        int(wpos - halfwin + s * geometry.bin_bp) for s in starts0
+    ]
+    output["end_coords"] = [
+        int(min(output["start_coords"][j] + geometry.window_bp / 2**j, chrlen))
+        for j in range(len(lvl_list))
+    ]
+    output["chr"] = mchr
+    output["padding_chr"] = padding_chr
+    output["annos"] = _process_annotation(
+        annotation, starts0,
+        [geometry.crop * (geometry.bins // (geometry.crop * 2**j))
+         for j in range(len(lvl_list))],
+        geometry.bins,
+    )
+    output["normmats"] = [
+        {lv: allnormmats[i][j] for j, lv in enumerate(lvl_list)}
+        for i in range(n_models)
+    ]
+    return output

@@ -1,0 +1,99 @@
+"""Resource loading: models, genome, observed micro-C targets.
+
+Framework equivalent of the reference `load_resources`
+(orca_predict.py:42-228), without module globals: returns an
+`OrcaResources` handle. Resources follow the reference layout
+(models/*.statedict + resources/*.npy + the hg38 FASTA / code-memmap /
+rebinned mcools); missing optional pieces degrade gracefully.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional
+
+from orca_tpu.data.genome import CodeGenome, FastaGenome, MemmapGenome
+from orca_tpu.models import zoo
+from orca_tpu.utils.config import get_config
+
+_MCOOLS = {"h1esc": "4DNFI9GMP2J8", "hff": "4DNFI643OYP9"}
+
+
+@dataclasses.dataclass
+class OrcaResources:
+    models: Dict[str, object]
+    genome: Optional[CodeGenome]
+    targets: Dict[str, object]
+    target_available: bool
+
+    def bundles(self, names: List[str]):
+        return [self.models[n] for n in names]
+
+
+def load_resources(models=("32M",), model_dir: Optional[str] = None,
+                   resource_dir: Optional[str] = None,
+                   use_memmapgenome: bool = True) -> OrcaResources:
+    """Load requested model families ('32M', '1M', '256M') plus genome and
+    observed micro-C target handles when the resource files exist."""
+    cfg = get_config()
+    model_dir = model_dir or cfg.model_dir
+    resource_dir = resource_dir or cfg.resource_dir
+
+    out_models: Dict[str, object] = {}
+    wanted = {m.lower() for m in models}
+    if "32m" in wanted:
+        for name in ("h1esc", "hff"):
+            out_models[name] = zoo.load_32m_bundle(model_dir, resource_dir, name)
+        hct = os.path.join(model_dir, "orca_hctnoc.net.statedict")
+        if os.path.exists(hct):
+            out_models["hctnoc"] = zoo.load_32m_bundle(
+                model_dir, resource_dir, "hctnoc"
+            )
+    if "1m" in wanted:
+        for name in ("h1esc", "hff"):
+            out_models[f"{name}_1m"] = zoo.load_1m_bundle(
+                model_dir, resource_dir, name
+            )
+    if "256m" in wanted:
+        for name in ("h1esc", "hff"):
+            out_models[f"{name}_256m"] = zoo.load_256m_bundle(
+                model_dir, resource_dir, name
+            )
+
+    genome = _load_genome(resource_dir, use_memmapgenome)
+    targets, available = _load_targets(resource_dir)
+    return OrcaResources(out_models, genome, targets, available)
+
+
+def _load_genome(resource_dir: str, use_memmap: bool):
+    code_mmap = os.path.join(
+        resource_dir, "Homo_sapiens.GRCh38.dna.primary_assembly.codes.mmap"
+    )
+    fasta = os.path.join(
+        resource_dir, "Homo_sapiens.GRCh38.dna.primary_assembly.fa"
+    )
+    if use_memmap and os.path.exists(code_mmap):
+        return MemmapGenome(code_mmap)
+    if os.path.exists(fasta):
+        if use_memmap:
+            return MemmapGenome.build(fasta, code_mmap)
+        return FastaGenome(fasta)
+    return None
+
+
+def _load_targets(resource_dir: str):
+    from orca_tpu.data.targets import CoolerContactMatrix
+
+    targets = {}
+    available = True
+    for name, stem in _MCOOLS.items():
+        mcool = os.path.join(resource_dir, f"{stem}.rebinned.mcool")
+        if not os.path.exists(mcool):
+            available = False
+            continue
+        for suffix, res in (("", 4000), ("_256m", 32000), ("_1m", 1000)):
+            targets[f"{name}{suffix}"] = CoolerContactMatrix(
+                f"{mcool}::/resolutions/{res}", (8000, 8000), cg=True
+            )
+    return targets, available

@@ -1,0 +1,71 @@
+"""Global configuration for orca_tpu.
+
+The reference hardcodes paths/constants per script and exposes a single module
+global (``Blocksize``, orca_modules.py:11-13) plus one env var (ORCA_PATH).
+Here configuration is a real, overridable object.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pathlib
+from typing import Optional
+
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
+
+
+@dataclasses.dataclass
+class OrcaConfig:
+    """Framework-wide configuration.
+
+    Attributes
+    ----------
+    resource_dir:
+        Directory holding genome/expectation/model resources (mirrors the
+        reference's ``ORCA_PATH/resources``).
+    model_dir:
+        Directory holding converted model parameter files.
+    compute_dtype:
+        dtype used inside the conv towers. float32 matches the reference
+        numerics; bfloat16 roughly doubles MXU throughput at ~1e-2 tolerance.
+    param_dtype:
+        dtype parameters are stored in.
+    encoder_block_bp:
+        Sequence chunk length (bp) used when scanning the bp-resolution
+        encoder to bound activation memory (reference Blocksize,
+        orca_modules.py:13). Must be a multiple of 4000.
+    encoder_halo_bp:
+        Halo (overlap) in bp on each side of a block/shard. 112000 covers the
+        encoder's full receptive field (~104 kb), making blockwise and
+        monolithic execution exactly equivalent (orca_modules.py:932).
+    interpret_pallas:
+        Run pallas kernels in interpreter mode (CPU testing).
+    """
+
+    resource_dir: str = os.environ.get(
+        "ORCA_TPU_RESOURCES", str(REPO_ROOT / "resources")
+    )
+    model_dir: str = os.environ.get("ORCA_TPU_MODELS", str(REPO_ROOT / "models"))
+    compute_dtype: str = "float32"
+    param_dtype: str = "float32"
+    encoder_block_bp: int = 4000 * 200
+    encoder_halo_bp: int = 112000
+    interpret_pallas: bool = False
+    use_pallas: bool = bool(int(os.environ.get("ORCA_TPU_USE_PALLAS", "0")))
+
+
+_config: Optional[OrcaConfig] = None
+
+
+def get_config() -> OrcaConfig:
+    global _config
+    if _config is None:
+        _config = OrcaConfig()
+    return _config
+
+
+def set_config(config: OrcaConfig) -> None:
+    global _config
+    _config = config
