@@ -17,6 +17,10 @@ import time
 
 import numpy as np
 
+# Persistent compile cache (the full cascade is a large program).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 # Allow overriding precision: bf16 roughly doubles MXU throughput.
 DTYPE = os.environ.get("ORCA_BENCH_DTYPE", "float32")
 A100_BASELINE_MB_PER_S = 2.0
@@ -49,8 +53,9 @@ def main():
         preds, starts = _cascade_32mb(
             bundle, GEOM_32M, seq, mpos, wpos, log_normmats
         )
-        jax.block_until_ready(preds)
-        return preds
+        # Force a device->host fetch: on tunneled/remote backends
+        # block_until_ready alone may not cover execution completion.
+        return float(jnp.sum(preds[-1]))
 
     # compile + warmup
     t0 = time.time()

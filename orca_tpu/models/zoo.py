@@ -74,6 +74,7 @@ class ModelBundle:
     epss: Dict[int, float]
     upsample_mode: str = "bilinear"
     pyramid_up_pass: bool = True
+    num_2d: int = 1  # output heads (multi-cell-type variants use >1)
 
     @property
     def levels(self):
@@ -121,7 +122,7 @@ jax.tree_util.register_dataclass(
     ModelBundle,
     data_fields=["encoder", "pyramid", "decoders", "decoder_1pt",
                  "normmats", "epss"],
-    meta_fields=["name", "upsample_mode", "pyramid_up_pass"],
+    meta_fields=["name", "upsample_mode", "pyramid_up_pass", "num_2d"],
 )
 jax.tree_util.register_dataclass(
     Model1MBundle,
@@ -193,11 +194,12 @@ def fold_bundle(bundle: ModelBundle) -> ModelBundle:
             bundle.pyramid, encoders.pyramid_spec(5, bundle.pyramid_up_pass)
         ),
         decoders={
-            lv: fold_params(p, decoders.decoder_spec(1))
+            lv: fold_params(p, decoders.decoder_spec(bundle.num_2d))
             for lv, p in bundle.decoders.items()
         },
         decoder_1pt=(
-            fold_params(bundle.decoder_1pt, decoders.decoder1m_spec(1))
+            fold_params(bundle.decoder_1pt,
+                        decoders.decoder1m_spec(bundle.num_2d))
             if bundle.decoder_1pt is not None
             else None
         ),
@@ -260,6 +262,118 @@ def random_256m_bundle(seed: int = 0, name: str = "random_256m") -> Model256MBun
         decoders=dec,
         background_cis=background_cis,
         background_trans=float(np.exp(-9.0)),
+    )
+
+
+_LEUKEMIA_NORMMAT_FILES = {
+    # multi-cell-type leukemia variants (orca_leukemia.py:1631-1632,:1763-1768)
+    "leukemiaA": [
+        "GSE134761_TALL_all.hg38.no_filter.1000.mcool.expected.res4000.npy",
+        "THP1.hg38.no_filter.1000.mcool.expected.res4000.npy",
+    ],
+    "leukemiaB": [
+        "4DNFIXP4QG5B.mcool.rebinned.mcool.expected.res4000.npy",
+        "NALM6.hg38.no_filter.1000.mcool.expected.res4000.npy",
+        "GSE146901_T_ALL_NonETP.hg38.no_filter.1000.mcool.expected.res4000.npy",
+        "GSE146901_T_ALL_ETP.hg38.no_filter.1000.mcool.expected.res4000.npy",
+        "GSE63525_K562.hg38.no_filter.1000.mcool.expected.res4000.npy",
+        "GSE63525_KBM7.hg38.no_filter.1000.mcool.expected.res4000.npy",
+    ],
+}
+
+
+def multi_normmats_from_expectations(expected_logs, levels=LEVELS_32M,
+                                     nbins: int = 8000, crop: int = 250):
+    """Stacked per-dataset backgrounds: each level maps to a
+    (num_2d, crop, crop) array with a single scalar eps across datasets
+    (orca_leukemia.py:1702-1729)."""
+    idx = np.abs(np.arange(nbins)[None, :] - np.arange(nbins)[:, None])
+    mats = np.stack([np.exp(e[:nbins])[idx] for e in expected_logs])
+    normmats, epss = {}, {}
+    for level in levels:
+        n = crop * level
+        r = (
+            mats[:, :n, :n]
+            .reshape(len(expected_logs), crop, level, crop, level)
+            .mean(axis=4)
+            .mean(axis=2)
+        )
+        normmats[level] = r
+        epss[level] = float(np.min(r))
+    return normmats, epss
+
+
+def load_leukemia_bundle(model_dir: str, resource_dir: str, name: str,
+                         fold: bool = True) -> ModelBundle:
+    """Assemble a multi-cell-type leukemia bundle (orca_leukemia.py:1604-1869).
+
+    `name` is 'leukemiaA' (2 heads) or 'leukemiaB' (6 heads). The leukemia
+    pyramid has no upward pass (orca_leukemia.py:1499-1601) and its decoders
+    use nearest upsampling with num_2d-channel distance encodings and heads.
+    """
+    files = _LEUKEMIA_NORMMAT_FILES[name]
+    num_2d = len(files)
+    sd = convert.load_statedict(
+        os.path.join(model_dir, f"orca_{name}.net.statedict")
+    )
+    pyramid = convert.convert_pyramid(sd, levels=5, up_pass=False)
+    net0_sd = convert.load_statedict(
+        os.path.join(model_dir, f"orca_{name}.net0.statedict")
+    )
+    encoder = convert.convert_encoder_tower(net0_sd)
+    decoder_1pt = convert.convert_decoder1m(net0_sd, num_2d=num_2d)
+    dec = {}
+    for level in LEVELS_32M:
+        dsd = convert.load_statedict(
+            os.path.join(model_dir, f"orca_{name}.d{level}.statedict")
+        )
+        dec[level] = convert.convert_decoder(dsd, num_2d=num_2d)
+    expected_logs = [
+        np.load(os.path.join(resource_dir, f)) for f in files
+    ]
+    normmats, epss = multi_normmats_from_expectations(expected_logs)
+    bundle = ModelBundle(
+        name=name,
+        encoder=encoder,
+        pyramid=pyramid,
+        decoders=dec,
+        decoder_1pt=decoder_1pt,
+        normmats=normmats,
+        epss=epss,
+        upsample_mode="nearest",
+        pyramid_up_pass=False,
+        num_2d=num_2d,
+    )
+    return fold_bundle(bundle) if fold else bundle
+
+
+def random_leukemia_bundle(seed: int = 0, num_2d: int = 2,
+                           name: str = "random_leukemia",
+                           nbins: int = 8000, crop: int = 250) -> ModelBundle:
+    key = jax.random.PRNGKey(seed)
+    ke, kp, kd, k1 = jax.random.split(key, 4)
+    dec = {
+        lv: decoders.init_decoder(k, num_2d=num_2d)
+        for lv, k in zip(LEVELS_32M, jax.random.split(kd, len(LEVELS_32M)))
+    }
+    d = np.arange(nbins, dtype=np.float64)
+    expected_logs = [
+        -1.5 * np.log1p(d) - 2.0 - 0.1 * i for i in range(num_2d)
+    ]
+    normmats, epss = multi_normmats_from_expectations(
+        expected_logs, nbins=nbins, crop=crop
+    )
+    return ModelBundle(
+        name=name,
+        encoder=encoders.init_encoder_tower(ke),
+        pyramid=encoders.init_pyramid(kp, 5, False),
+        decoders=dec,
+        decoder_1pt=decoders.init_decoder1m(k1, num_2d=num_2d),
+        normmats=normmats,
+        epss=epss,
+        upsample_mode="nearest",
+        pyramid_up_pass=False,
+        num_2d=num_2d,
     )
 
 

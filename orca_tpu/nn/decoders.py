@@ -142,6 +142,9 @@ def apply_decoder(
     pre = f"{path}/" if path else ""
     kw = dict(train=train, rng=rng, bn_updates=bn_updates)
 
+    distenc = distenc.astype(x.dtype)
+    if y is not None:
+        y = y.astype(x.dtype)
     mat = jnp.concatenate([pairwise(x), distenc], axis=-1)
     mat = apply_block(params["lcombinerD"], spec["lcombinerD"], mat,
                       path=f"{pre}lcombinerD", **kw)

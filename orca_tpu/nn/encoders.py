@@ -169,7 +169,14 @@ def apply_encoder_tower(
         halo_bp >= RECEPTIVE_FIELD_BP for exact equivalence). Bounds peak
         activation memory at O(block) instead of O(L).
     """
-    compute_dtype = x.dtype if x.dtype in (jnp.float32, jnp.bfloat16) else jnp.float32
+    # match the parameter dtype (bf16 params select the fast MXU path)
+    param_dtype = params["lconv"][0][0]["w"].dtype
+    if param_dtype == jnp.bfloat16:
+        compute_dtype = jnp.bfloat16
+    elif x.dtype in (jnp.float32, jnp.bfloat16):
+        compute_dtype = x.dtype
+    else:
+        compute_dtype = jnp.float32
     n, length, _ = x.shape
     if block_bp is None or length <= block_bp:
         return apply_encoder_stages(params, x.astype(compute_dtype))

@@ -30,13 +30,21 @@ from jax import lax
 BN_EPS = 1e-5  # torch BatchNorm default
 
 
+def _default_precision(x: jax.Array, w: jax.Array):
+    """float32 runs at full precision (reference parity); bfloat16 uses the
+    MXU's native pass (the fast TPU path)."""
+    if x.dtype == jnp.bfloat16 or w.dtype == jnp.bfloat16:
+        return lax.Precision.DEFAULT
+    return lax.Precision.HIGHEST
+
+
 def conv1d(
     x: jax.Array,
     w: jax.Array,
     b: Optional[jax.Array] = None,
     *,
     dilation: int = 1,
-    precision=lax.Precision.HIGHEST,
+    precision=None,
 ) -> jax.Array:
     """1D convolution, torch Conv1d semantics with 'same' padding for odd k.
 
@@ -51,7 +59,7 @@ def conv1d(
         padding=[(pad, pad)],
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=precision,
+        precision=precision or _default_precision(x, w),
     )
     if b is not None:
         out = out + b
@@ -64,7 +72,7 @@ def conv2d(
     b: Optional[jax.Array] = None,
     *,
     dilation: int = 1,
-    precision=lax.Precision.HIGHEST,
+    precision=None,
 ) -> jax.Array:
     """2D convolution, torch Conv2d semantics with 'same' padding for odd k.
 
@@ -80,7 +88,7 @@ def conv2d(
         padding=[(ph, ph), (pw, pw)],
         rhs_dilation=(dilation, dilation),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=precision,
+        precision=precision or _default_precision(x, w),
     )
     if b is not None:
         out = out + b

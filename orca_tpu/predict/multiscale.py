@@ -88,20 +88,29 @@ def _decode_level(
     add_1pt: bool,
 ) -> jax.Array:
     """Decode one level: crop `geom.crop` bins at `start_bins` (units of the
-    level's bin size), returning (N, crop, crop, 1)."""
+    level's bin size), returning (N, crop, crop, num_2d)."""
+    num_2d = bundle.num_2d
     enc_crop = lax.dynamic_slice_in_dim(enc, start_bins, geom.crop, axis=1)
+    if log_normmat.ndim == 2:  # (crop, crop) single background
+        log_normmat = log_normmat[:, :, None]
+    else:  # (num_2d, crop, crop) per-dataset backgrounds -> channels-last
+        log_normmat = jnp.moveaxis(log_normmat, 0, -1)
     distenc = jnp.broadcast_to(
-        log_normmat[None, :, :, None], (enc.shape[0], geom.crop, geom.crop, 1)
+        log_normmat[None, :, :, :],
+        (enc.shape[0], geom.crop, geom.crop, num_2d),
     )
     pred = decoders.apply_decoder(
         bundle.decoders[level],
         enc_crop,
         distenc,
         coarse,
+        num_2d=num_2d,
         upsample_mode=bundle.upsample_mode,
     )
     if add_1pt and bundle.decoder_1pt is not None:
-        pred = pred + decoders.apply_decoder1m(bundle.decoder_1pt, enc_crop)
+        pred = pred + decoders.apply_decoder1m(
+            bundle.decoder_1pt, enc_crop, num_2d=num_2d
+        )
     return pred
 
 
@@ -179,7 +188,7 @@ def _cascade_32mb(bundle: ModelBundle, geom: CascadeGeometry, seq, mpos, wpos,
         bundle, geom, seq_rc, mpos, wpos, log_normmats, rc=True
     )
     out = [
-        0.5 * f[..., 0] + 0.5 * jnp.flip(r[..., 0], axis=(1, 2))
+        (0.5 * f + 0.5 * jnp.flip(r, axis=(1, 2))).astype(jnp.float32)
         for f, r in zip(fwd, rc)
     ]
     return jnp.stack(out), starts
@@ -237,8 +246,17 @@ def genomepredict(
 
     lvl_list = sorted(models[0].decoders, reverse=True)
     output = {}
+    # (crop, crop) maps for single-head models; (num_2d, crop, crop) for
+    # multi-cell-type heads (reference channel-first convention,
+    # orca_predict.py:514-523)
     output["predictions"] = [
-        [allpreds[i][j][0] for j in range(len(lvl_list))] for i in range(n_models)
+        [
+            allpreds[i][j][0, :, :, 0]
+            if allpreds[i][j].shape[-1] == 1
+            else np.moveaxis(allpreds[i][j][0], -1, 0)
+            for j in range(len(lvl_list))
+        ]
+        for i in range(n_models)
     ]
     if targets is not None:
         alltargets = []
@@ -412,7 +430,9 @@ def _cascade_256mb(bundle: Model256MBundle, geom: CascadeGeometry, seq, mpos,
         bundle, geom, seq_rc, mpos, wpos, chrlen, normmat, rc=True
     )
     out = [
-        0.5 * f[..., 0] + 0.5 * jnp.flip(r[..., 0], axis=(1, 2))
+        (0.5 * f[..., 0] + 0.5 * jnp.flip(r[..., 0], axis=(1, 2))).astype(
+            jnp.float32
+        )
         for f, r in zip(fwd, rc)
     ]
     return jnp.stack(out), starts, jnp.stack(norms)

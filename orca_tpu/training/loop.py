@@ -1,0 +1,304 @@
+"""Training loop drivers for the three stages.
+
+The reference's training scripts are infinite while-loops with periodic
+torch.save and print (train/README.md; train_h1esc_a.py:134-247). Here each
+stage has a Trainer with:
+  * a sampler-backed input pipeline (orca_tpu.data.sampler),
+  * the jitted stage step (orca_tpu.training.stages),
+  * orbax checkpointing with full state (params/opt/swa/step/scheduler),
+  * validation with per-window Pearson r driving ReduceLROnPlateau,
+  * SWA support (stage a),
+  * structured JSONL metrics.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orca_tpu.nn import decoders
+from orca_tpu.training import losses, optim, swa as swa_lib
+from orca_tpu.training.stages import (
+    StageAConfig,
+    StageBConfig,
+    StageCConfig,
+    make_stage_a_step,
+    make_stage_b_step,
+    make_stage_c_step,
+    stage_a_eval_metrics,
+)
+from orca_tpu.utils.logging import MetricsLogger
+
+
+@dataclasses.dataclass
+class LoopConfig:
+    workdir: str
+    lr: float = 0.002
+    batch_size: int = 16
+    checkpoint_every: int = 500
+    validate_every: int = 2000
+    val_batches: int = 8
+    max_steps: Optional[int] = None
+    use_swa: bool = False
+    seed: int = 314
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save_state(workdir: str, step: int, state: dict) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.join(os.path.abspath(workdir), f"ckpt_{step}")
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def latest_checkpoint(workdir: str) -> Optional[str]:
+    if not os.path.isdir(workdir):
+        return None
+    steps = []
+    for d in os.listdir(workdir):
+        if d.startswith("ckpt_") and d[5:].isdigit():
+            steps.append(int(d[5:]))
+    if not steps:
+        return None
+    return os.path.join(os.path.abspath(workdir), f"ckpt_{max(steps)}")
+
+
+def restore_state(workdir: str, template: dict) -> Optional[dict]:
+    import orbax.checkpoint as ocp
+
+    path = latest_checkpoint(workdir)
+    if path is None:
+        return None
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, template)
+
+
+class StageATrainer:
+    """1Mb-model training (reference train_h1esc_a.py)."""
+
+    def __init__(self, cfg: StageAConfig, loop: LoopConfig, sampler,
+                 normmat_r: np.ndarray, eps: float,
+                 params: Optional[dict] = None):
+        self.cfg = cfg
+        self.loop = loop
+        self.sampler = sampler
+        self.normmat_r = jnp.asarray(normmat_r, jnp.float32)
+        self.eps = float(eps)
+        self.opt, self.step_fn = make_stage_a_step(cfg)
+        key = jax.random.PRNGKey(loop.seed)
+        self.params = params or decoders.init_net(key, num_1d=cfg.num_1d)
+        self.opt_state = self.opt.init(self.params)
+        self.swa_state = (
+            swa_lib.swa_init(self.params) if loop.use_swa else None
+        )
+        self.scheduler = optim.ReduceLROnPlateau(lr=loop.lr)
+        self.step = 0
+        self.logger = MetricsLogger(loop.workdir, "stage_a")
+        self.rng = jax.random.PRNGKey(loop.seed + 1)
+
+    # -- checkpoint ------------------------------------------------------
+
+    def _state(self):
+        s = {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "step": self.step,
+            "lr": self.scheduler.lr,
+        }
+        if self.swa_state is not None:
+            s["swa"] = self.swa_state
+        return s
+
+    def save(self):
+        save_state(self.loop.workdir, self.step, self._state())
+
+    def try_restore(self) -> bool:
+        restored = restore_state(self.loop.workdir, self._state())
+        if restored is None:
+            return False
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.step = int(restored["step"])
+        self.scheduler.lr = float(restored["lr"])
+        if self.swa_state is not None and "swa" in restored:
+            self.swa_state = restored["swa"]
+        return True
+
+    # -- training --------------------------------------------------------
+
+    def train_batches(self) -> Iterator[tuple]:
+        while True:
+            out = self.sampler.sample(self.loop.batch_size, mode="train")
+            yield out
+
+    def run(self, max_steps: Optional[int] = None):
+        max_steps = max_steps or self.loop.max_steps
+        for batch in self.train_batches():
+            seq, target = batch[0], batch[1]
+            target_1d = batch[-1] if self.cfg.num_1d else np.zeros(
+                (seq.shape[0], self.cfg.crop, 0), np.float32
+            )
+            self.rng, sub = jax.random.split(self.rng)
+            self.params, self.opt_state, metrics = self.step_fn(
+                self.params, self.opt_state, jnp.asarray(seq),
+                jnp.asarray(target), jnp.asarray(target_1d), sub,
+                jnp.float32(self.scheduler.lr), self.normmat_r, self.eps,
+            )
+            if self.swa_state is not None:
+                self.swa_state = swa_lib.swa_update(self.swa_state, self.params)
+            self.step += 1
+            if self.step % self.loop.checkpoint_every == 0:
+                self.logger.log(self.step, lr=self.scheduler.lr, **metrics)
+                self.save()
+            if self.step % self.loop.validate_every == 0:
+                corr = self.validate()
+                self.scheduler.step(corr)
+                self.logger.log(self.step, val_pearson=corr,
+                                lr=self.scheduler.lr)
+            if max_steps is not None and self.step >= max_steps:
+                return metrics
+
+    def validate(self) -> float:
+        params = (
+            self.swa_state["avg"] if self.swa_state is not None else self.params
+        )
+        corrs = []
+        for _ in range(self.loop.val_batches):
+            batch = self.sampler.sample(self.loop.batch_size, mode="validate")
+            seq, target = batch[0], batch[1]
+            target_1d = batch[-1] if self.cfg.num_1d else np.zeros(
+                (seq.shape[0], self.cfg.crop, 0), np.float32
+            )
+            corr, _mse, _bce = stage_a_eval_metrics(
+                params, self.cfg, jnp.asarray(seq), jnp.asarray(target),
+                jnp.asarray(target_1d), self.normmat_r, self.eps,
+            )
+            corrs.append(np.asarray(corr))
+        return float(np.nanmean(np.concatenate(corrs)))
+
+
+class StageBTrainer:
+    """1-32Mb stage training (reference train_h1esc_b.py): accumulates
+    windows, skips >50%-NaN targets, random zoom cascade."""
+
+    def __init__(self, cfg: StageBConfig, loop: LoopConfig, sampler,
+                 trainable: dict, frozen: dict, normmats: np.ndarray,
+                 epss: np.ndarray, nan_skip: float = 0.5,
+                 accumulate: int = 4):
+        self.cfg = cfg
+        self.loop = loop
+        self.sampler = sampler
+        self.trainable = trainable
+        self.frozen = frozen
+        self.normmats = jnp.asarray(normmats, jnp.float32)
+        self.epss = jnp.asarray(epss, jnp.float32)
+        self.nan_skip = nan_skip
+        self.accumulate = accumulate
+        self.opt, self.step_fn = make_stage_b_step(cfg)
+        self.opt_state = self.opt.init(trainable)
+        self.scheduler = optim.ReduceLROnPlateau(lr=loop.lr)
+        self.step = 0
+        self.logger = MetricsLogger(loop.workdir, "stage_b")
+        self.rng = jax.random.PRNGKey(loop.seed)
+
+    def _accumulate_batch(self):
+        seqs, targets = [], []
+        while len(seqs) < self.accumulate:
+            seq, target = self.sampler.sample(1, mode="train")[:2]
+            if np.isnan(target).mean() > self.nan_skip:
+                continue
+            seqs.append(seq[0])
+            targets.append(target[0])
+        return np.stack(seqs), np.stack(targets)
+
+    def run(self, max_steps: Optional[int] = None):
+        max_steps = max_steps or self.loop.max_steps
+        metrics = {}
+        while max_steps is None or self.step < max_steps:
+            seq, target = self._accumulate_batch()
+            self.rng, sub = jax.random.split(self.rng)
+            self.trainable, self.opt_state, metrics = self.step_fn(
+                self.trainable, self.frozen, self.opt_state,
+                jnp.asarray(seq), jnp.asarray(target), sub,
+                jnp.float32(self.scheduler.lr), self.normmats, self.epss,
+            )
+            self.step += 1
+            if self.step % self.loop.checkpoint_every == 0:
+                self.logger.log(self.step, lr=self.scheduler.lr, **metrics)
+                save_state(self.loop.workdir, self.step, {
+                    "trainable": self.trainable,
+                    "opt_state": self.opt_state,
+                    "step": self.step,
+                    "lr": self.scheduler.lr,
+                })
+        return metrics
+
+
+class StageCTrainer(StageBTrainer):
+    """32-256Mb stage training (reference train_h1esc_c.py): cross-chromosome
+    samples with per-sample background normmats."""
+
+    def __init__(self, cfg: StageCConfig, loop: LoopConfig, sampler,
+                 trainable: dict, frozen: dict, nan_skip: float = 0.5,
+                 accumulate: int = 1):
+        self.cfg = cfg
+        self.loop = loop
+        self.sampler = sampler
+        self.trainable = trainable
+        self.frozen = frozen
+        self.nan_skip = nan_skip
+        self.accumulate = accumulate
+        self.opt, self.step_fn = make_stage_c_step(cfg)
+        self.opt_state = self.opt.init(trainable)
+        self.scheduler = optim.ReduceLROnPlateau(lr=loop.lr)
+        self.step = 0
+        self.logger = MetricsLogger(loop.workdir, "stage_c")
+        self.rng = jax.random.PRNGKey(loop.seed)
+
+    def _accumulate_batch(self):
+        seqs, targets, normmats = [], [], []
+        while len(seqs) < self.accumulate:
+            seq, target, normmat = self.sampler.sample(1, mode="train")[:3]
+            if np.isnan(target).mean() > self.nan_skip:
+                continue
+            nm = normmat[0]
+            mask = np.isnan(nm)
+            if mask.any():
+                nm = np.where(mask, np.nanmin(nm), nm)
+            seqs.append(seq[0])
+            targets.append(target[0])
+            normmats.append(nm)
+        return np.stack(seqs), np.stack(targets), np.stack(normmats)
+
+    def run(self, max_steps: Optional[int] = None):
+        max_steps = max_steps or self.loop.max_steps
+        metrics = {}
+        while max_steps is None or self.step < max_steps:
+            seq, target, normmat = self._accumulate_batch()
+            self.rng, sub = jax.random.split(self.rng)
+            self.trainable, self.opt_state, metrics = self.step_fn(
+                self.trainable, self.frozen, self.opt_state,
+                jnp.asarray(seq), jnp.asarray(target), jnp.asarray(normmat),
+                sub, jnp.float32(self.scheduler.lr),
+            )
+            self.step += 1
+            if self.step % self.loop.checkpoint_every == 0:
+                self.logger.log(self.step, lr=self.scheduler.lr, **metrics)
+                save_state(self.loop.workdir, self.step, {
+                    "trainable": self.trainable,
+                    "opt_state": self.opt_state,
+                    "step": self.step,
+                    "lr": self.scheduler.lr,
+                })
+        return metrics

@@ -61,6 +61,25 @@ def import_reference_modules():
     return orca_modules
 
 
+def import_reference_leukemia():
+    """Load the reference leukemia module's class definitions as an oracle.
+
+    orca_leukemia.py instantiates its models at import time (:1872-1873),
+    which requires checkpoint files — so exec only the definitions."""
+    import types
+
+    src = open(os.path.join(REFERENCE_DIR, "orca_leukemia.py")).read()
+    cut = src.index("leuA = OrcaLeukemiaA()")
+    # drop the model-assembly classes too (they load statedicts in __init__)
+    cls_cut = src.index("class OrcaLeukemiaA")
+    mod = types.ModuleType("orca_leukemia_defs")
+    mod.__dict__["__file__"] = os.path.join(REFERENCE_DIR, "orca_leukemia.py")
+    # the module requires the ORCA_PATH env/global (orca_leukemia.py:8-10)
+    mod.__dict__["ORCA_PATH"] = REFERENCE_DIR
+    exec(compile(src[:cls_cut], "orca_leukemia_defs", "exec"), mod.__dict__)
+    return mod
+
+
 def import_reference_utils():
     """Import the reference orca_utils (StructuralChange2, coord utils) with
     its unavailable viz dependency stubbed out."""
