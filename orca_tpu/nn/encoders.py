@@ -105,6 +105,27 @@ def apply_encoder_stages(
     return cout
 
 
+def to_compute_dtype(x: jax.Array, dtype) -> jax.Array:
+    """Convert an input block to the compute dtype.
+
+    uint8 inputs are *packed quarter-scale one-hot* (one-hot * 4, so the
+    0.25-valued unknown-base rows stay exact): 16x less host->device
+    traffic than float32 for 32-256Mb windows. The inverse scale is applied
+    here, after the cheap device-side cast.
+    """
+    if x.dtype == jnp.uint8:
+        return x.astype(dtype) * jnp.asarray(0.25, dtype)
+    return x.astype(dtype)
+
+
+def pack_onehot(sequence) -> "jnp.ndarray":
+    """Host-side packing: float one-hot (values in {0, 0.25, 1}) -> uint8
+    quarter-scale (values in {0, 1, 4}). Exact round trip."""
+    import numpy as np
+
+    return (np.asarray(sequence) * 4).astype(np.uint8)
+
+
 def apply_encoder_stages_masked(
     params: dict,
     x: jax.Array,
@@ -119,17 +140,23 @@ def apply_encoder_stages_masked(
     padding at the true sequence boundary (a plain zero-padded input is NOT:
     conv biases propagate non-zeros into the pad region from layer 2 on).
     Both bounds must be multiples of 4000 (bin alignment guarantees pool
-    windows never straddle the boundary). Inference-mode only.
+    windows never straddle the boundary) and may be scalars or (N,) arrays
+    (per-batch-row validity, used for batched block execution).
+    Inference-mode only.
     """
     from orca_tpu.ops import nn_ops
     from orca_tpu.nn.core import apply_unit
 
     spec = encoder_tower_spec()
+    vs = jnp.atleast_1d(jnp.asarray(valid_start_bp))
+    ve = jnp.atleast_1d(jnp.asarray(valid_end_bp))
 
     def mask(arr, res):
         idx = jnp.arange(arr.shape[1])
-        m = (idx >= valid_start_bp // res) & (idx < valid_end_bp // res)
-        return arr * m[None, :, None].astype(arr.dtype)
+        m = (idx[None, :] >= vs[:, None] // res) & (
+            idx[None, :] < ve[:, None] // res
+        )
+        return arr * m[:, :, None].astype(arr.dtype)
 
     def run_block(block_params, block, arr, res):
         if block.pool:
@@ -157,17 +184,23 @@ def apply_encoder_tower(
     *,
     block_bp: Optional[int] = None,
     halo_bp: int = 112000,
+    block_group: Optional[int] = None,
     checkpoint_blocks: bool = False,
 ) -> jax.Array:
     """bp -> 4kb encoder forward with optional blocked execution.
 
-    x: (N, L, 4) one-hot. May be int8/uint8: a 256Mb one-hot input is 4GB in
-        fp32 but 1GB as int8; conversion to float happens per block so the
-        full-precision sequence never materializes in HBM.
-    block_bp: if set, process the sequence in chunks of this many bp with a
-        `halo_bp` halo on each side (must both be multiples of 4000, and
-        halo_bp >= RECEPTIVE_FIELD_BP for exact equivalence). Bounds peak
-        activation memory at O(block) instead of O(L).
+    x: (N, L, 4) one-hot (uint8 packed quarter-scale supported, see
+        to_compute_dtype; a 256Mb window stays 1GB instead of 4GB on device).
+    block_bp: if set, split the sequence into chunks with a `halo_bp` halo
+        each side (all multiples of 4000; halo >= RECEPTIVE_FIELD_BP makes
+        blocked execution exactly equal to the monolithic conv). Unlike the
+        reference's *sequential* block loop (orca_modules.py:955-979),
+        blocks here become a **batch dimension** — one wide conv program
+        that keeps the MXU busy — processed `block_group` blocks at a time
+        (default: a whole 32Mb window at once; grouping bounds peak
+        activation memory for 256Mb inputs). The true-sequence boundary is
+        handled by masked execution (apply_encoder_stages_masked), so any
+        window length reuses one compilation per shape.
     """
     # match the parameter dtype (bf16 params select the fast MXU path)
     param_dtype = params["lconv"][0][0]["w"].dtype
@@ -179,51 +212,69 @@ def apply_encoder_tower(
         compute_dtype = jnp.float32
     n, length, _ = x.shape
     if block_bp is None or length <= block_bp:
-        return apply_encoder_stages(params, x.astype(compute_dtype))
+        return apply_encoder_stages(params, to_compute_dtype(x, compute_dtype))
 
     if block_bp % BIN_BP or halo_bp % BIN_BP or length % BIN_BP:
         raise ValueError(
             "block_bp, halo_bp and the sequence length must be multiples of "
             f"4000; got {block_bp=} {halo_bp=} {length=}"
         )
-    nblocks = length // block_bp
-    rem_bp = length - nblocks * block_bp
+    nblocks = -(-length // block_bp)  # ceil: last block zero-padded + masked
     halo_bins = halo_bp // BIN_BP
     block_bins = block_bp // BIN_BP
+    seg_bp = block_bp + 2 * halo_bp
 
-    # Zero-pad both ends by the halo, then every block sees
-    # [i*B - halo, i*B + B + halo). The halo absorbs the receptive field at
-    # interior block edges; at the true sequence ends, masked execution
-    # (apply_encoder_stages_masked) reproduces the monolithic conv's
-    # per-layer zero padding exactly.
-    xp = jnp.pad(x, ((0, 0), (halo_bp, halo_bp), (0, 0)))
+    # Pad with the left halo and enough tail for the last (partial) block.
+    pad_tail = nblocks * block_bp - length + halo_bp
+    xp = jnp.pad(x, ((0, 0), (halo_bp, pad_tail), (0, 0)))
 
-    def run_block(i):
-        seg = lax.dynamic_slice_in_dim(xp, i * block_bp, block_bp + 2 * halo_bp, 1)
-        # valid bp range inside the extended segment
-        seg_start_global = i * block_bp - halo_bp
-        valid_start = jnp.maximum(0, -seg_start_global)
-        valid_end = jnp.minimum(seg.shape[1], length - seg_start_global)
+    # Overlapping-window gather -> blocks on the batch axis:
+    # (N, L', C) -> (nblocks*N, seg_bp, C).
+    starts = jnp.arange(nblocks) * block_bp
+    idx = starts[:, None] + jnp.arange(seg_bp)[None, :]
+    xb = jnp.moveaxis(xp[:, idx, :], 0, 1)  # (nblocks, N, seg_bp, C)
+    xb = xb.reshape(nblocks * n, seg_bp, x.shape[2])
+
+    # Per-block valid bp range (sequence boundaries + tail padding).
+    seg_start_global = starts - halo_bp
+    vs = jnp.repeat(jnp.maximum(0, -seg_start_global), n)
+    ve = jnp.repeat(jnp.minimum(seg_bp, length - seg_start_global), n)
+
+    def run_group(args):
+        seg, gvs, gve = args
         out = apply_encoder_stages_masked(
-            params, seg.astype(compute_dtype), valid_start, valid_end
+            params, to_compute_dtype(seg, compute_dtype), gvs, gve
         )
         return lax.slice_in_dim(out, halo_bins, halo_bins + block_bins, axis=1)
 
     if checkpoint_blocks:
-        run_block = jax.checkpoint(run_block)
-    outs = lax.map(run_block, jnp.arange(nblocks))
-    # (nblocks, N, block_bins, C) -> (N, nblocks*block_bins, C)
+        run_group = jax.checkpoint(run_group)
+
+    rows = nblocks * n
+    group = block_group or _default_block_group(block_bp, rows)
+    if group >= rows:
+        outs = run_group((xb, vs, ve))  # (rows, block_bins, C)
+    else:
+        while rows % group:
+            group -= 1
+        xg = xb.reshape(rows // group, group, seg_bp, x.shape[2])
+        vg = vs.reshape(rows // group, group)
+        eg = ve.reshape(rows // group, group)
+        outs = lax.map(run_group, (xg, vg, eg))
+        outs = outs.reshape(rows, block_bins, -1)
+
+    # (nblocks*N, block_bins, C) -> (N, nblocks*block_bins, C), crop tail pad
+    outs = outs.reshape(nblocks, n, block_bins, -1)
     outs = jnp.moveaxis(outs, 0, 1).reshape(n, nblocks * block_bins, -1)
-    if rem_bp:
-        # Partial tail block: [L - rem - halo, L + halo) of the padded array.
-        tail = xp[:, nblocks * block_bp :, :]
-        tail_out = apply_encoder_stages_masked(
-            params, tail.astype(compute_dtype), halo_bp, halo_bp + rem_bp
-        )
-        outs = jnp.concatenate(
-            [outs, tail_out[:, halo_bins:-halo_bins or None, :]], axis=1
-        )
-    return outs
+    return outs[:, : length // BIN_BP, :]
+
+
+def _default_block_group(block_bp: int, rows: int) -> int:
+    """Blocks per batched group, capping total extent around 16Mb of
+    sequence (fits v5e-lite HBM: stage-1 activations ~2GB bf16 with a few
+    live buffers; 32Mb-at-once compiles to ~30GB and OOMs on 16GB chips)."""
+    cap = max(1, 16_000_000 // block_bp)
+    return min(rows, cap)
 
 
 # --------------------------------------------------------------------------

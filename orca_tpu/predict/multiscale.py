@@ -64,6 +64,20 @@ GEOM_32M = CascadeGeometry(32_000_000, 4000, 250)
 GEOM_256M = CascadeGeometry(256_000_000, 32000, 250)
 
 
+def _device_sequence(sequence) -> jax.Array:
+    """Pack a float one-hot for transfer when exactly representable as
+    quarter-scale uint8 ({0, 0.25, 1} values — always true for sequences
+    from the genome/retrieval layer): 16x less host->device traffic.
+    Arbitrary float inputs pass through unchanged."""
+    arr = np.asarray(sequence)
+    if arr.dtype == np.uint8:
+        return jnp.asarray(arr)
+    q = arr * 4
+    if q.size and q.min() >= 0 and q.max() <= 255 and np.all(q == np.round(q)):
+        return jnp.asarray(q.astype(np.uint8))
+    return jnp.asarray(arr)
+
+
 def _encode_32mb(bundle: ModelBundle, seq: jax.Array) -> Dict[int, jax.Array]:
     """One-hot (1, L, 4) -> encodings at levels 1..32 (finest L/4000 bins)."""
     cfg = get_config()
@@ -75,43 +89,6 @@ def _encode_32mb(bundle: ModelBundle, seq: jax.Array) -> Dict[int, jax.Array]:
         bundle.pyramid, feats, levels=5, up_pass=bundle.pyramid_up_pass
     )
     return {lv: e for lv, e in zip((1, 2, 4, 8, 16, 32), encs)}
-
-
-def _decode_level(
-    bundle: ModelBundle,
-    geom: CascadeGeometry,
-    level: int,
-    enc: jax.Array,
-    log_normmat: jax.Array,
-    start_bins: jax.Array,
-    coarse: Optional[jax.Array],
-    add_1pt: bool,
-) -> jax.Array:
-    """Decode one level: crop `geom.crop` bins at `start_bins` (units of the
-    level's bin size), returning (N, crop, crop, num_2d)."""
-    num_2d = bundle.num_2d
-    enc_crop = lax.dynamic_slice_in_dim(enc, start_bins, geom.crop, axis=1)
-    if log_normmat.ndim == 2:  # (crop, crop) single background
-        log_normmat = log_normmat[:, :, None]
-    else:  # (num_2d, crop, crop) per-dataset backgrounds -> channels-last
-        log_normmat = jnp.moveaxis(log_normmat, 0, -1)
-    distenc = jnp.broadcast_to(
-        log_normmat[None, :, :, :],
-        (enc.shape[0], geom.crop, geom.crop, num_2d),
-    )
-    pred = decoders.apply_decoder(
-        bundle.decoders[level],
-        enc_crop,
-        distenc,
-        coarse,
-        num_2d=num_2d,
-        upsample_mode=bundle.upsample_mode,
-    )
-    if add_1pt and bundle.decoder_1pt is not None:
-        pred = pred + decoders.apply_decoder1m(
-            bundle.decoder_1pt, enc_crop, num_2d=num_2d
-        )
-    return pred
 
 
 def _zoom_start_index(geom: CascadeGeometry, m: int, mpos, wpos, start_bins,
@@ -133,65 +110,77 @@ def _zoom_start_index(geom: CascadeGeometry, m: int, mpos, wpos, start_bins,
     return jnp.clip(raw, 0, geom.half).astype(jnp.int32)
 
 
-def _cascade_32mb_one_orientation(
-    bundle: ModelBundle,
-    geom: CascadeGeometry,
-    seq: jax.Array,
-    mpos: jax.Array,
-    wpos: jax.Array,
-    log_normmats: jax.Array,
-    rc: bool,
-):
-    """Run encoder + 6-level zoom cascade for one orientation.
+def _vmap_crop_1d(enc: jax.Array, starts: jax.Array, size: int) -> jax.Array:
+    """Per-row dynamic crop along axis 1: (B, L, C), (B,) -> (B, size, C)."""
+    return jax.vmap(
+        lambda e, s: lax.dynamic_slice_in_dim(e, s, size, axis=0)
+    )(enc, starts)
 
-    Returns (preds: list of (N,crop,crop,1) coarsest-first, starts (6,)
-    in finest-bin units).
-    """
-    encs = _encode_32mb(bundle, seq)
-    lvl_list = sorted(bundle.decoders, reverse=True)  # [32, 16, ..., 1]
-    preds = []
-    starts = []
-    start_bins = jnp.int32(0)
-    coarse = None
-    for j, level in enumerate(lvl_list):
-        pred = _decode_level(
-            bundle,
-            geom,
-            level,
-            encs[level],
-            log_normmats[j],
-            start_bins // level,
-            coarse,
-            add_1pt=(level == 1),
+
+def _vmap_crop_2d(pred: jax.Array, starts: jax.Array, size: int) -> jax.Array:
+    """Per-row dynamic square crop: (B, H, W, C), (B,) -> (B, size, size, C)."""
+    return jax.vmap(
+        lambda p, s: lax.dynamic_slice(
+            p, (s, s, 0), (size, size, p.shape[2])
         )
-        starts.append(start_bins)
-        preds.append(pred)
-        start_index = _zoom_start_index(geom, level, mpos, wpos, start_bins, rc)
-        start_bins = start_bins + start_index * level
-        coarse = lax.dynamic_slice(
-            pred,
-            (0, start_index, start_index, 0),
-            (pred.shape[0], geom.half, geom.half, pred.shape[3]),
-        )
-    return preds, jnp.stack(starts)
+    )(pred, starts)
 
 
 @partial(jax.jit, static_argnums=(1,))
 def _cascade_32mb(bundle: ModelBundle, geom: CascadeGeometry, seq, mpos, wpos,
                   log_normmats):
-    """Full fwd+RC cascade; returns (stacked (6,N,crop,crop), starts (6,))."""
-    fwd, starts = _cascade_32mb_one_orientation(
-        bundle, geom, seq, mpos, wpos, log_normmats, rc=False
-    )
-    seq_rc = jnp.flip(seq, axis=(1, 2))
-    rc, _ = _cascade_32mb_one_orientation(
-        bundle, geom, seq_rc, mpos, wpos, log_normmats, rc=True
-    )
+    """Full fwd+RC cascade; returns (stacked (6,N,crop,crop,C), starts (6,)).
+
+    Both orientations run as one batch (rows [0,N) forward, rows [N,2N)
+    reverse-complement): the encoder and every decoder level execute once at
+    batch 2N, with per-row zoom starts (the fwd/RC zoom formulas differ,
+    orca_predict.py:470-497). The 32Mb distance encoding is symmetric under
+    the RC spatial flip, so both halves share it.
+    """
+    n = seq.shape[0]
+    seq2 = jnp.concatenate([seq, jnp.flip(seq, axis=(1, 2))], axis=0)
+    encs = _encode_32mb(bundle, seq2)
+    lvl_list = sorted(bundle.decoders, reverse=True)  # [32, 16, ..., 1]
+    preds = []
+    starts = []
+    start_bins = jnp.zeros((2 * n,), jnp.int32)
+    coarse = None
+    num_2d = bundle.num_2d
+    for j, level in enumerate(lvl_list):
+        enc_crop = _vmap_crop_1d(encs[level], start_bins // level, geom.crop)
+        log_nm = log_normmats[j]
+        if log_nm.ndim == 2:
+            log_nm = log_nm[:, :, None]
+        else:
+            log_nm = jnp.moveaxis(log_nm, 0, -1)
+        distenc = jnp.broadcast_to(
+            log_nm[None], (2 * n, geom.crop, geom.crop, num_2d)
+        )
+        pred = decoders.apply_decoder(
+            bundle.decoders[level], enc_crop, distenc, coarse,
+            num_2d=num_2d, upsample_mode=bundle.upsample_mode,
+        )
+        if level == 1 and bundle.decoder_1pt is not None:
+            pred = pred + decoders.apply_decoder1m(
+                bundle.decoder_1pt, enc_crop, num_2d=num_2d
+            )
+        starts.append(start_bins[:n])
+        preds.append(pred)
+        si_fwd = _zoom_start_index(
+            geom, level, mpos, wpos, start_bins[:n], rc=False
+        )
+        si_rc = _zoom_start_index(
+            geom, level, mpos, wpos, start_bins[n:], rc=True
+        )
+        start_index = jnp.concatenate([si_fwd, si_rc])
+        start_bins = start_bins + start_index * level
+        coarse = _vmap_crop_2d(pred, start_index, geom.half)
     out = [
-        (0.5 * f + 0.5 * jnp.flip(r, axis=(1, 2))).astype(jnp.float32)
-        for f, r in zip(fwd, rc)
+        (0.5 * p[:n] + 0.5 * jnp.flip(p[n:], axis=(1, 2))).astype(jnp.float32)
+        for p in preds
     ]
-    return jnp.stack(out), starts
+    # starts per level for the first batch row (fwd pass), shape (6,)
+    return jnp.stack(out), jnp.stack([s[0] for s in starts])
 
 
 def _downsample_target(target: np.ndarray, start: int, factor: int,
@@ -236,7 +225,7 @@ def genomepredict(
         preds, starts = _cascade_32mb(
             bundle,
             geometry,
-            jnp.asarray(sequence),
+            _device_sequence(sequence),
             jnp.float32(mpos),
             jnp.float32(wpos),
             jnp.asarray(bundle.log_normmats()),
@@ -353,89 +342,79 @@ def _block_average(mat: jax.Array, start: jax.Array, factor: int,
     return crop.reshape(crop_bins, factor, crop_bins, factor).mean(axis=(1, 3))
 
 
-def _cascade_256mb_one_orientation(
-    bundle: Model256MBundle,
-    geom: CascadeGeometry,
-    seq: jax.Array,
-    mpos,
-    wpos,
-    chrlen,
-    normmat: jax.Array,
-    rc: bool,
-):
-    encs = _encode_256mb(bundle, seq)
+@partial(jax.jit, static_argnums=(1,))
+def _cascade_256mb(bundle: Model256MBundle, geom: CascadeGeometry, seq, mpos,
+                   wpos, chrlen, normmat):
+    """Full fwd+RC 4-level cascade with per-region backgrounds, both
+    orientations batched (reference loop: orca_predict.py:661-845).
+
+    Unlike the 32Mb path the distance encoding is per-region (not
+    symmetric), so RC rows use the spatially flipped background
+    (orca_predict.py:703), and the RC zoom start is the mirrored index
+    (:832-833). Zoom proposals clamp to the first chromosome's bounds."""
+    n = seq.shape[0]
+    seq2 = jnp.concatenate([seq, jnp.flip(seq, axis=(1, 2))], axis=0)
+    encs = _encode_256mb(bundle, seq2)
     lvl_list = sorted(bundle.decoders, reverse=True)  # [256, 128, 64, 32]
     halfwin = geom.window_bp / 2.0
     binw = float(geom.bin_bp)
     preds, starts, norms = [], [], []
-    start_bins = jnp.int32(0)
+    start_bins = jnp.zeros((2 * n,), jnp.int32)
     coarse = None
     for j, level in enumerate(lvl_list):
         factor = geom.bins // (geom.crop * 2**j)  # == level // 8 in production
-        normmat_r = _block_average(normmat, start_bins, factor, geom.crop)
+        normmat_r = jax.vmap(
+            lambda s: _block_average(normmat, s, factor, geom.crop)
+        )(start_bins)
         distenc_2d = jnp.log(normmat_r)
-        if rc:
-            distenc_2d = jnp.flip(distenc_2d, axis=(0, 1))
-        enc_crop = lax.dynamic_slice_in_dim(
-            encs[level], start_bins // factor, geom.crop, axis=1
+        distenc_2d = jnp.concatenate(
+            [distenc_2d[:n], jnp.flip(distenc_2d[n:], axis=(1, 2))], axis=0
         )
+        enc_crop = _vmap_crop_1d(encs[level], start_bins // factor, geom.crop)
         pred = decoders.apply_decoder(
             bundle.decoders[level],
             enc_crop,
-            jnp.broadcast_to(
-                distenc_2d[None, :, :, None],
-                (seq.shape[0], geom.crop, geom.crop, 1),
-            ),
+            distenc_2d[..., None],
             coarse,
             upsample_mode=bundle.upsample_mode,
         )
         preds.append(pred)
-        starts.append(start_bins)
-        norms.append(normmat_r)
+        starts.append(start_bins[:n])
+        norms.append(normmat_r[0])
 
         # Zoom proposal with chromosome-boundary clamping
         # (orca_predict.py:813-833).
         span = float(geom.span_bp(factor))
-        if not rc:
-            proposed = (mpos - span / 4) - (wpos - halfwin + start_bins * binw)
-        else:
-            proposed = (mpos - span / 4) - (
-                wpos + halfwin - start_bins * binw - span
-            )
+        prop_fwd = (mpos - span / 4) - (wpos - halfwin + start_bins[:n] * binw)
+        prop_rc = (mpos - span / 4) - (
+            wpos + halfwin - start_bins[n:] * binw - span
+        )
         b0 = 0.0 - (wpos - halfwin)
         b1 = chrlen - span / 2 - (wpos - halfwin)
-        proposed = jnp.where(b0 < b1, jnp.clip(proposed, b0, b1), b0)
-        start_index = jnp.clip(
-            jnp.floor(proposed / (binw * factor)), 0, geom.half
+        prop_fwd = jnp.where(b0 < b1, jnp.clip(prop_fwd, b0, b1), b0)
+        prop_rc = jnp.where(b0 < b1, jnp.clip(prop_rc, b0, b1), b0)
+        si_fwd = jnp.clip(
+            jnp.floor(prop_fwd / (binw * factor)), 0, geom.half
         ).astype(jnp.int32)
-        if rc:
-            start_index = geom.crop - (start_index + geom.half)
+        si_rc = geom.crop - (
+            jnp.clip(
+                jnp.floor(prop_rc / (binw * factor)), 0, geom.half
+            ).astype(jnp.int32)
+            + geom.half
+        )
+        start_index = jnp.concatenate([si_fwd, si_rc])
         start_bins = start_bins + start_index * factor
-        coarse = lax.dynamic_slice(
-            pred,
-            (0, start_index, start_index, 0),
-            (pred.shape[0], geom.half, geom.half, pred.shape[3]),
-        )
-    return preds, jnp.stack(starts), norms
-
-
-@partial(jax.jit, static_argnums=(1,))
-def _cascade_256mb(bundle: Model256MBundle, geom: CascadeGeometry, seq, mpos,
-                   wpos, chrlen, normmat):
-    fwd, starts, norms = _cascade_256mb_one_orientation(
-        bundle, geom, seq, mpos, wpos, chrlen, normmat, rc=False
-    )
-    seq_rc = jnp.flip(seq, axis=(1, 2))
-    rc, _, _ = _cascade_256mb_one_orientation(
-        bundle, geom, seq_rc, mpos, wpos, chrlen, normmat, rc=True
-    )
+        coarse = _vmap_crop_2d(pred, start_index, geom.half)
     out = [
-        (0.5 * f[..., 0] + 0.5 * jnp.flip(r[..., 0], axis=(1, 2))).astype(
-            jnp.float32
-        )
-        for f, r in zip(fwd, rc)
+        (0.5 * p[:n, ..., 0] + 0.5 * jnp.flip(p[n:, ..., 0], axis=(1, 2))
+         ).astype(jnp.float32)
+        for p in preds
     ]
-    return jnp.stack(out), starts, jnp.stack(norms)
+    return (
+        jnp.stack(out),
+        jnp.stack([s[0] for s in starts]),
+        jnp.stack(norms),
+    )
 
 
 def genomepredict_256mb(
@@ -465,7 +444,7 @@ def genomepredict_256mb(
         preds, starts, norms = _cascade_256mb(
             bundle,
             geometry,
-            jnp.asarray(sequence),
+            _device_sequence(sequence),
             jnp.float32(mpos),
             jnp.float32(wpos),
             jnp.float32(chrlen),

@@ -50,7 +50,9 @@ class OrcaConfig:
     model_dir: str = os.environ.get("ORCA_TPU_MODELS", str(REPO_ROOT / "models"))
     compute_dtype: str = "float32"
     param_dtype: str = "float32"
-    encoder_block_bp: int = int(os.environ.get("ORCA_TPU_BLOCK_BP", 4000 * 800))
+    # 800kb blocks batched ~20 at a time measure ~2-3x faster on v5e than
+    # fewer/longer blocks (long spatial dims tile poorly); see bench history.
+    encoder_block_bp: int = int(os.environ.get("ORCA_TPU_BLOCK_BP", 4000 * 200))
     encoder_halo_bp: int = 112000
     interpret_pallas: bool = False
     use_pallas: bool = bool(int(os.environ.get("ORCA_TPU_USE_PALLAS", "0")))

@@ -138,6 +138,6 @@ def test_cascade_parity(mpos_frac):
     np.testing.assert_array_equal(np.asarray(got_starts), np.array(want_starts))
     for j in range(6):
         np.testing.assert_allclose(
-            np.asarray(got[j][0]), want[j], atol=2e-3,
+            np.asarray(got[j][0, :, :, 0]), want[j], atol=2e-3,
             err_msg=f"level index {j}",
         )
