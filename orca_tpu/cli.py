@@ -83,6 +83,8 @@ def main(argv=None):
     if args.command == "build-genome":
         from orca_tpu.data.genome import MemmapGenome
 
+        if not os.path.exists(args.fasta):
+            parser.error(f"FASTA file not found: {args.fasta}")
         MemmapGenome.build(args.fasta, args.memmap)
         print(f"wrote {args.memmap} (+ .json index)")
         return 0
@@ -123,11 +125,31 @@ def main(argv=None):
     from orca_tpu.predict import pipelines
     from orca_tpu.predict.resources import load_resources
 
+    # validate the coordinate before loading gigabytes of resources
+    try:
+        if args.command == "break":
+            _parse_breakpoint(args.coordinate)
+        else:
+            _parse_coordinate(args.coordinate)
+    except (ValueError, IndexError):
+        parser.error(
+            f"could not parse coordinate {args.coordinate!r} — expected "
+            "'chr1:1000000-2000000' (or "
+            "'chr1:1000000|chr2:2000000|+-' for break)"
+        )
+
     window_radius = 128000000 if args.use_256m else 16000000
-    res = load_resources(
-        models=["256M" if args.use_256m else "32M"],
-        model_dir=args.model_dir, resource_dir=args.resource_dir,
-    )
+    try:
+        res = load_resources(
+            models=["256M" if args.use_256m else "32M"],
+            model_dir=args.model_dir, resource_dir=args.resource_dir,
+        )
+    except FileNotFoundError as e:
+        parser.error(
+            f"model/resource files missing ({e}). Convert the reference "
+            "checkpoints into --model-dir (see `orca-tpu convert -h`) and "
+            "place expectation/genome resources in --resource-dir."
+        )
     if res.genome is None:
         parser.error("no genome resources found (see --resource-dir)")
 

@@ -1,0 +1,57 @@
+"""Multi-host (DCN) execution support.
+
+The reference has no multi-process capability at all (SURVEY §2.5); here
+multi-host runs initialize jax.distributed and build meshes whose 'data'
+axis spans hosts (gradients all-reduce over ICI within a slice and DCN
+across slices) while 'seq' stays intra-slice (halo exchange must ride ICI).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Initialize the JAX distributed runtime (TPU pods auto-detect all
+    arguments; explicit values support manual GPU/CPU rigs)."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_multihost_mesh(seq_per_host: int = 1,
+                        axis_names: Tuple[str, str] = ("data", "seq")) -> Mesh:
+    """Mesh over all global devices: 'seq' spans `seq_per_host` devices
+    *within* each host (ICI), 'data' spans the rest.
+
+    Devices are ordered host-major so the seq axis never crosses DCN.
+    """
+    devices = sorted(
+        jax.devices(), key=lambda d: (d.process_index, getattr(d, "id", 0))
+    )
+    n = len(devices)
+    if n % seq_per_host:
+        raise ValueError(f"{seq_per_host=} does not divide {n} devices")
+    arr = np.array(devices).reshape(n // seq_per_host, seq_per_host)
+    return Mesh(arr, axis_names)
+
+
+def local_batch_slice(global_batch: int) -> slice:
+    """The slice of a global batch this process should feed (per-host input
+    pipelines shard the sampler output by process index)."""
+    per = global_batch // jax.process_count()
+    start = jax.process_index() * per
+    return slice(start, start + per)
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0

@@ -213,11 +213,14 @@ def plot_annotation_panels(output: dict, file: str, show_genes: bool,
     try:
         import pygenometracks.tracksClass  # noqa: F401
     except ImportError:
-        import warnings
+        global _WARNED_NO_TRACKS
+        if not globals().get("_WARNED_NO_TRACKS"):
+            import warnings
 
-        warnings.warn(
-            "pygenometracks not installed; skipping gene/track panels"
-        )
+            warnings.warn(
+                "pygenometracks not installed; skipping gene/track panels"
+            )
+            _WARNED_NO_TRACKS = True
         return
     import tempfile
 
