@@ -127,59 +127,101 @@ def _vmap_crop_2d(pred: jax.Array, starts: jax.Array, size: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnums=(1,))
+def _encode_32mb_jit(bundle: ModelBundle, geom: CascadeGeometry, seq):
+    """Encoder + pyramid for the orientation-batched input; one program."""
+    seq2 = jnp.concatenate([seq, jnp.flip(seq, axis=(1, 2))], axis=0)
+    encs = _encode_32mb(bundle, seq2)
+    return tuple(encs[lv] for lv in (1, 2, 4, 8, 16, 32))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _crop_rows_jit(enc, starts, size: int):
+    return _vmap_crop_1d(enc, starts, size)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _decode_level_jit(dec_params, dec_1pt, enc_crop,
+                      geom: CascadeGeometry, upsample_mode: str, num_2d: int,
+                      level, log_nm, start_bins, mpos, wpos, coarse):
+    """One decoder level of the orientation-batched cascade.
+
+    `enc_crop` is pre-cropped to (B, crop, 128) so every level shares one
+    compiled program per (coarse?, 1pt?) variant; `level` is a traced
+    scalar. Rows [0, B/2) are the forward pass, [B/2, B)
+    reverse-complement. Returns (pred, next start_bins, next coarse).
+    """
+    b = enc_crop.shape[0]
+    n = b // 2
+    if log_nm.ndim == 2:
+        log_nm = log_nm[:, :, None]
+    else:
+        log_nm = jnp.moveaxis(log_nm, 0, -1)
+    distenc = jnp.broadcast_to(
+        log_nm[None], (b, geom.crop, geom.crop, num_2d)
+    )
+    pred = decoders.apply_decoder(
+        dec_params, enc_crop, distenc, coarse,
+        num_2d=num_2d, upsample_mode=upsample_mode,
+    )
+    if dec_1pt is not None:
+        pred = pred + decoders.apply_decoder1m(
+            dec_1pt, enc_crop, num_2d=num_2d
+        )
+    si_fwd = _zoom_start_index(geom, level, mpos, wpos, start_bins[:n],
+                               rc=False)
+    si_rc = _zoom_start_index(geom, level, mpos, wpos, start_bins[n:],
+                              rc=True)
+    start_index = jnp.concatenate([si_fwd, si_rc])
+    next_start = start_bins + start_index * level
+    coarse_next = _vmap_crop_2d(pred, start_index, geom.half)
+    return pred, next_start, coarse_next
+
+
+@jax.jit
+def _combine_orientations(pred):
+    n = pred.shape[0] // 2
+    return (
+        0.5 * pred[:n] + 0.5 * jnp.flip(pred[n:], axis=(1, 2))
+    ).astype(jnp.float32)
+
+
 def _cascade_32mb(bundle: ModelBundle, geom: CascadeGeometry, seq, mpos, wpos,
                   log_normmats):
     """Full fwd+RC cascade; returns (stacked (6,N,crop,crop,C), starts (6,)).
 
-    Both orientations run as one batch (rows [0,N) forward, rows [N,2N)
-    reverse-complement): the encoder and every decoder level execute once at
-    batch 2N, with per-row zoom starts (the fwd/RC zoom formulas differ,
-    orca_predict.py:470-497). The 32Mb distance encoding is symmetric under
-    the RC spatial flip, so both halves share it.
+    Both orientations run as one batch with per-row zoom starts (the fwd/RC
+    formulas differ, orca_predict.py:470-497); the 32Mb distance encoding is
+    symmetric under the RC flip so both halves share it. Orchestrated as a
+    host loop over small shared jit programs (encoder; one decoder program
+    per coarse/1pt variant, cropped inputs so all levels share it) — data
+    stays on device between levels, and nothing recompiles across levels,
+    models, or zoom targets.
     """
     n = seq.shape[0]
-    seq2 = jnp.concatenate([seq, jnp.flip(seq, axis=(1, 2))], axis=0)
-    encs = _encode_32mb(bundle, seq2)
+    encs = dict(zip((1, 2, 4, 8, 16, 32),
+                    _encode_32mb_jit(bundle, geom, seq)))
     lvl_list = sorted(bundle.decoders, reverse=True)  # [32, 16, ..., 1]
     preds = []
     starts = []
     start_bins = jnp.zeros((2 * n,), jnp.int32)
     coarse = None
-    num_2d = bundle.num_2d
+    mpos = jnp.float32(mpos)
+    wpos = jnp.float32(wpos)
     for j, level in enumerate(lvl_list):
-        enc_crop = _vmap_crop_1d(encs[level], start_bins // level, geom.crop)
-        log_nm = log_normmats[j]
-        if log_nm.ndim == 2:
-            log_nm = log_nm[:, :, None]
-        else:
-            log_nm = jnp.moveaxis(log_nm, 0, -1)
-        distenc = jnp.broadcast_to(
-            log_nm[None], (2 * n, geom.crop, geom.crop, num_2d)
+        dec_1pt = (
+            bundle.decoder_1pt
+            if (level == 1 and bundle.decoder_1pt is not None)
+            else None
         )
-        pred = decoders.apply_decoder(
-            bundle.decoders[level], enc_crop, distenc, coarse,
-            num_2d=num_2d, upsample_mode=bundle.upsample_mode,
-        )
-        if level == 1 and bundle.decoder_1pt is not None:
-            pred = pred + decoders.apply_decoder1m(
-                bundle.decoder_1pt, enc_crop, num_2d=num_2d
-            )
         starts.append(start_bins[:n])
+        enc_crop = _crop_rows_jit(encs[level], start_bins // level, geom.crop)
+        pred, start_bins, coarse = _decode_level_jit(
+            bundle.decoders[level], dec_1pt, enc_crop, geom,
+            bundle.upsample_mode, bundle.num_2d, jnp.int32(level),
+            log_normmats[j], start_bins, mpos, wpos, coarse,
+        )
         preds.append(pred)
-        si_fwd = _zoom_start_index(
-            geom, level, mpos, wpos, start_bins[:n], rc=False
-        )
-        si_rc = _zoom_start_index(
-            geom, level, mpos, wpos, start_bins[n:], rc=True
-        )
-        start_index = jnp.concatenate([si_fwd, si_rc])
-        start_bins = start_bins + start_index * level
-        coarse = _vmap_crop_2d(pred, start_index, geom.half)
-    out = [
-        (0.5 * p[:n] + 0.5 * jnp.flip(p[n:], axis=(1, 2))).astype(jnp.float32)
-        for p in preds
-    ]
-    # starts per level for the first batch row (fwd pass), shape (6,)
+    out = [_combine_orientations(p) for p in preds]
     return jnp.stack(out), jnp.stack([s[0] for s in starts])
 
 
@@ -343,73 +385,96 @@ def _block_average(mat: jax.Array, start: jax.Array, factor: int,
 
 
 @partial(jax.jit, static_argnums=(1,))
+def _encode_256mb_jit(bundle: Model256MBundle, geom: CascadeGeometry, seq):
+    seq2 = jnp.concatenate([seq, jnp.flip(seq, axis=(1, 2))], axis=0)
+    encs = _encode_256mb(bundle, seq2)
+    return tuple(encs[lv] for lv in (32, 64, 128, 256))
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _block_average_rows_jit(normmat, starts, factor: int, crop: int):
+    """Per-row block-averaged background crops: (B,) starts ->
+    (B, crop, crop)."""
+    return jax.vmap(lambda s: _block_average(normmat, s, factor, crop))(starts)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _decode_level_256_jit(dec_params, enc_crop, geom: CascadeGeometry,
+                          upsample_mode: str, factor, normmat_r, start_bins,
+                          mpos, wpos, chrlen, coarse):
+    """One 256Mb decoder level, orientation-batched with per-region
+    backgrounds: RC rows use the spatially flipped distance encoding
+    (orca_predict.py:703) and the mirrored zoom start (:832-833); zoom
+    proposals clamp to the first chromosome's bounds (:821-829)."""
+    b = enc_crop.shape[0]
+    n = b // 2
+    halfwin = geom.window_bp / 2.0
+    binw = float(geom.bin_bp)
+    distenc_2d = jnp.log(normmat_r)
+    distenc_2d = jnp.concatenate(
+        [distenc_2d[:n], jnp.flip(distenc_2d[n:], axis=(1, 2))], axis=0
+    )
+    pred = decoders.apply_decoder(
+        dec_params, enc_crop, distenc_2d[..., None], coarse,
+        upsample_mode=upsample_mode,
+    )
+    span = geom.crop * geom.bin_bp * factor.astype(jnp.float32)
+    prop_fwd = (mpos - span / 4) - (wpos - halfwin + start_bins[:n] * binw)
+    prop_rc = (mpos - span / 4) - (
+        wpos + halfwin - start_bins[n:] * binw - span
+    )
+    b0 = 0.0 - (wpos - halfwin)
+    b1 = chrlen - span / 2 - (wpos - halfwin)
+    prop_fwd = jnp.where(b0 < b1, jnp.clip(prop_fwd, b0, b1), b0)
+    prop_rc = jnp.where(b0 < b1, jnp.clip(prop_rc, b0, b1), b0)
+    si_fwd = jnp.clip(
+        jnp.floor(prop_fwd / (binw * factor)), 0, geom.half
+    ).astype(jnp.int32)
+    si_rc = geom.crop - (
+        jnp.clip(
+            jnp.floor(prop_rc / (binw * factor)), 0, geom.half
+        ).astype(jnp.int32)
+        + geom.half
+    )
+    start_index = jnp.concatenate([si_fwd, si_rc])
+    next_start = start_bins + start_index * factor
+    coarse_next = _vmap_crop_2d(pred, start_index, geom.half)
+    return pred, next_start, coarse_next
+
+
 def _cascade_256mb(bundle: Model256MBundle, geom: CascadeGeometry, seq, mpos,
                    wpos, chrlen, normmat):
     """Full fwd+RC 4-level cascade with per-region backgrounds, both
-    orientations batched (reference loop: orca_predict.py:661-845).
-
-    Unlike the 32Mb path the distance encoding is per-region (not
-    symmetric), so RC rows use the spatially flipped background
-    (orca_predict.py:703), and the RC zoom start is the mirrored index
-    (:832-833). Zoom proposals clamp to the first chromosome's bounds."""
+    orientations batched (reference loop: orca_predict.py:661-845),
+    orchestrated as small shared jit programs like the 32Mb path."""
     n = seq.shape[0]
-    seq2 = jnp.concatenate([seq, jnp.flip(seq, axis=(1, 2))], axis=0)
-    encs = _encode_256mb(bundle, seq2)
+    encs = dict(zip((32, 64, 128, 256),
+                    _encode_256mb_jit(bundle, geom, seq)))
     lvl_list = sorted(bundle.decoders, reverse=True)  # [256, 128, 64, 32]
-    halfwin = geom.window_bp / 2.0
-    binw = float(geom.bin_bp)
     preds, starts, norms = [], [], []
     start_bins = jnp.zeros((2 * n,), jnp.int32)
     coarse = None
+    mpos = jnp.float32(mpos)
+    wpos = jnp.float32(wpos)
+    chrlen = jnp.float32(chrlen)
+    normmat = jnp.asarray(normmat)
     for j, level in enumerate(lvl_list):
         factor = geom.bins // (geom.crop * 2**j)  # == level // 8 in production
-        normmat_r = jax.vmap(
-            lambda s: _block_average(normmat, s, factor, geom.crop)
-        )(start_bins)
-        distenc_2d = jnp.log(normmat_r)
-        distenc_2d = jnp.concatenate(
-            [distenc_2d[:n], jnp.flip(distenc_2d[n:], axis=(1, 2))], axis=0
+        normmat_r = _block_average_rows_jit(
+            normmat, start_bins, factor, geom.crop
         )
-        enc_crop = _vmap_crop_1d(encs[level], start_bins // factor, geom.crop)
-        pred = decoders.apply_decoder(
-            bundle.decoders[level],
-            enc_crop,
-            distenc_2d[..., None],
-            coarse,
-            upsample_mode=bundle.upsample_mode,
+        enc_crop = _crop_rows_jit(
+            encs[level], start_bins // factor, geom.crop
         )
-        preds.append(pred)
         starts.append(start_bins[:n])
         norms.append(normmat_r[0])
-
-        # Zoom proposal with chromosome-boundary clamping
-        # (orca_predict.py:813-833).
-        span = float(geom.span_bp(factor))
-        prop_fwd = (mpos - span / 4) - (wpos - halfwin + start_bins[:n] * binw)
-        prop_rc = (mpos - span / 4) - (
-            wpos + halfwin - start_bins[n:] * binw - span
+        pred, start_bins, coarse = _decode_level_256_jit(
+            bundle.decoders[level], enc_crop, geom, bundle.upsample_mode,
+            jnp.int32(factor), normmat_r, start_bins, mpos, wpos, chrlen,
+            coarse,
         )
-        b0 = 0.0 - (wpos - halfwin)
-        b1 = chrlen - span / 2 - (wpos - halfwin)
-        prop_fwd = jnp.where(b0 < b1, jnp.clip(prop_fwd, b0, b1), b0)
-        prop_rc = jnp.where(b0 < b1, jnp.clip(prop_rc, b0, b1), b0)
-        si_fwd = jnp.clip(
-            jnp.floor(prop_fwd / (binw * factor)), 0, geom.half
-        ).astype(jnp.int32)
-        si_rc = geom.crop - (
-            jnp.clip(
-                jnp.floor(prop_rc / (binw * factor)), 0, geom.half
-            ).astype(jnp.int32)
-            + geom.half
-        )
-        start_index = jnp.concatenate([si_fwd, si_rc])
-        start_bins = start_bins + start_index * factor
-        coarse = _vmap_crop_2d(pred, start_index, geom.half)
-    out = [
-        (0.5 * p[:n, ..., 0] + 0.5 * jnp.flip(p[n:, ..., 0], axis=(1, 2))
-         ).astype(jnp.float32)
-        for p in preds
-    ]
+        preds.append(pred)
+    out = [_combine_orientations(p)[..., 0] for p in preds]
     return (
         jnp.stack(out),
         jnp.stack([s[0] for s in starts]),
