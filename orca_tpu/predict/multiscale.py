@@ -81,9 +81,10 @@ def _device_sequence(sequence) -> jax.Array:
 def _encode_32mb(bundle: ModelBundle, seq: jax.Array) -> Dict[int, jax.Array]:
     """One-hot (1, L, 4) -> encodings at levels 1..32 (finest L/4000 bins)."""
     cfg = get_config()
+    # blocking left to the tower: the fused-Pallas path picks
+    # cfg.pallas_block_bp (4Mb) blocks, the XLA path cfg.encoder_block_bp.
     feats = encoders.apply_encoder_tower(
-        bundle.encoder, seq, block_bp=cfg.encoder_block_bp,
-        halo_bp=cfg.encoder_halo_bp,
+        bundle.encoder, seq, halo_bp=cfg.encoder_halo_bp,
     )
     encs = encoders.apply_pyramid(
         bundle.pyramid, feats, levels=5, up_pass=bundle.pyramid_up_pass
@@ -364,9 +365,10 @@ def _process_annotation(annotation, starts, window_bins, total_bins=BINS):
 
 def _encode_256mb(bundle: Model256MBundle, seq: jax.Array) -> Dict[int, jax.Array]:
     cfg = get_config()
+    # blocking left to the tower: the fused-Pallas path picks
+    # cfg.pallas_block_bp (4Mb) blocks, the XLA path cfg.encoder_block_bp.
     feats = encoders.apply_encoder_tower(
-        bundle.encoder, seq, block_bp=cfg.encoder_block_bp,
-        halo_bp=cfg.encoder_halo_bp,
+        bundle.encoder, seq, halo_bp=cfg.encoder_halo_bp,
     )
     enc128k = encoders.apply_pyramid(
         bundle.pyramid1, feats, levels=5, up_pass=True

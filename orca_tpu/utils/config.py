@@ -54,8 +54,20 @@ class OrcaConfig:
     # fewer/longer blocks (long spatial dims tile poorly); see bench history.
     encoder_block_bp: int = int(os.environ.get("ORCA_TPU_BLOCK_BP", 4000 * 200))
     encoder_halo_bp: int = 112000
+    # Block length used by the fused-Pallas encoder path (larger than the
+    # XLA path's 800kb: the kernels stream tiles, so blocks are bounded by
+    # activation memory only and bigger blocks amortize the 112kb halo).
+    pallas_block_bp: int = int(
+        os.environ.get("ORCA_TPU_PALLAS_BLOCK_BP", 4_000_000)
+    )
     interpret_pallas: bool = False
-    use_pallas: bool = bool(int(os.environ.get("ORCA_TPU_USE_PALLAS", "0")))
+    # None = auto (fused Pallas kernels on TPU backends, XLA elsewhere);
+    # override with ORCA_TPU_USE_PALLAS=0/1.
+    use_pallas: Optional[bool] = (
+        None
+        if os.environ.get("ORCA_TPU_USE_PALLAS", "") == ""
+        else bool(int(os.environ["ORCA_TPU_USE_PALLAS"]))
+    )
 
 
 _config: Optional[OrcaConfig] = None
