@@ -1,0 +1,68 @@
+import os, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+import numpy as np
+import jax, jax.numpy as jnp
+
+from orca_tpu.models import zoo
+from orca_tpu.predict.multiscale import (
+    GEOM_32M, _cascade_32mb, _encode_32mb_jit, _crop_rows_jit,
+    _decode_level_jit,
+)
+from orca_tpu.nn import encoders
+
+bundle = zoo.fold_bundle(zoo.random_32m_bundle(seed=0))
+bundle = jax.tree.map(
+    lambda x: x.astype(jnp.bfloat16)
+    if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, bundle)
+log_normmats = jnp.asarray(bundle.log_normmats())
+
+rng = np.random.RandomState(0)
+codes = rng.randint(0, 4, size=32_000_000)
+seq = jnp.asarray(np.eye(4, dtype=np.int8)[codes][None])
+
+def timeit(name, f, n=3):
+    f()  # warm
+    jax.block_until_ready(f())
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f()
+        jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name}: {dt*1000:.1f} ms")
+    return dt
+
+# full cascade
+timeit("full cascade", lambda: _cascade_32mb(bundle, GEOM_32M, seq,
+       jnp.float32(16e6), jnp.float32(16e6), log_normmats))
+
+# encoder+pyramid (fwd+RC batched)
+encs = None
+def enc():
+    global encs
+    encs = _encode_32mb_jit(bundle, GEOM_32M, seq)
+    return encs
+timeit("encode_32mb_jit (tower+pyramid, fwd+RC)", enc)
+
+# tower only (fwd+RC)
+seq2 = jnp.concatenate([seq, jnp.flip(seq, axis=(1, 2))], axis=0)
+from orca_tpu.utils.config import get_config
+cfg = get_config()
+tower = jax.jit(lambda s: encoders.apply_encoder_tower(
+    bundle.encoder, s, halo_bp=cfg.encoder_halo_bp))
+timeit("tower only (fwd+RC)", lambda: tower(seq2))
+
+feats = tower(seq2)
+pyr = jax.jit(lambda f: encoders.apply_pyramid(
+    bundle.pyramid, f, levels=5, up_pass=bundle.pyramid_up_pass))
+timeit("pyramid only", lambda: pyr(feats))
+
+# one decoder level (with coarse)
+encs = enc()
+enc1 = _crop_rows_jit(encs[0], jnp.zeros((2,), jnp.int32), 250)
+coarse = jnp.zeros((2, 125, 125, 1), jnp.bfloat16)
+dec = lambda: _decode_level_jit(
+    bundle.decoders[1], None, enc1, GEOM_32M, bundle.upsample_mode,
+    bundle.num_2d, jnp.int32(1), log_normmats[5],
+    jnp.zeros((2,), jnp.int32), jnp.float32(16e6), jnp.float32(16e6), coarse)
+timeit("one decoder level (B=2, with coarse)", dec)
