@@ -20,6 +20,8 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from jax import lax
+
 from orca_tpu.nn.core import (
     Block,
     BNUpdates,
@@ -107,6 +109,37 @@ def _init_from_spec(rng, spec, dtype):
     return params
 
 
+def _scan_repeated_groups(cur, lparams, cparams, lblocks, cblocks,
+                          group_len: int):
+    """Run trailing dilation groups as a `lax.scan` over stacked params.
+
+    The reference decoders repeat an identical sub-schedule of dilations
+    (orca_modules.py:36-460: 4x(1..64) for Decoder, 2x(2..64) after the
+    first 7 blocks of Decoder_1m). Scanning those groups compiles the group
+    body ONCE instead of inlining it per repeat — cutting the dominant
+    per-decoder graph roughly in half (cold-compile fix). Inference-mode
+    only: params are stacked per call (free under jit), so checkpoints and
+    the train-mode unrolled path are unchanged.
+    """
+    n_groups = len(lparams) // group_len
+    group_trees = [
+        (lparams[g * group_len : (g + 1) * group_len],
+         cparams[g * group_len : (g + 1) * group_len])
+        for g in range(n_groups)
+    ]
+    groups = jax.tree.map(lambda *xs: jnp.stack(xs), *group_trees)
+
+    def body(c, gp):
+        lps, cps = gp
+        for j in range(group_len):
+            c = apply_block(lps[j], lblocks[j], c) + c
+            c = apply_block(cps[j], cblocks[j], c) + c
+        return c, None
+
+    cur, _ = lax.scan(body, cur, groups)
+    return cur
+
+
 def _upsample_coarse(y: jax.Array, mode: str) -> jax.Array:
     if mode == "bilinear":
         return nn_ops.upsample2d_bilinear(y, 2)
@@ -154,10 +187,13 @@ def apply_decoder(
     if y is not None:
         mat = jnp.concatenate([mat, _upsample_coarse(y, upsample_mode)], axis=-1)
     cur = mat
-    for i, (lb, lp, cb, cp) in enumerate(
-        zip(spec["lconvtwos"], params["lconvtwos"],
-            spec["convtwos"], params["convtwos"])
-    ):
+    group_len = 7  # the dilation schedule repeats in groups of 7
+    # Inference: unroll only the first group, scan the 3 identical trailing
+    # groups (no per-block BN-update collection or dropout rngs needed).
+    n_unroll = group_len if not train else len(spec["lconvtwos"])
+    for i in range(n_unroll):
+        lb, lp = spec["lconvtwos"][i], params["lconvtwos"][i]
+        cb, cp = spec["convtwos"][i], params["convtwos"][i]
         if i == 0:
             if y is not None:
                 # With a coarse pred, the first dilation block is replaced by
@@ -176,6 +212,14 @@ def apply_decoder(
         else:
             cur = apply_block(lp, lb, cur, path=f"{pre}lconvtwos/{i}", **kw) + cur
             cur = apply_block(cp, cb, cur, path=f"{pre}convtwos/{i}", **kw) + cur
+    if n_unroll < len(spec["lconvtwos"]):
+        cur = _scan_repeated_groups(
+            cur,
+            params["lconvtwos"][n_unroll:], params["convtwos"][n_unroll:],
+            spec["lconvtwos"][n_unroll : n_unroll + group_len],
+            spec["convtwos"][n_unroll : n_unroll + group_len],
+            group_len,
+        )
     cur = apply_block(params["final"], spec["final"], cur,
                       path=f"{pre}final", **kw)
     return symmetrize(cur)
@@ -217,15 +261,27 @@ def apply_decoder1m_mat(
     pre = f"{path}/" if path else ""
     kw = dict(train=train, rng=rng, bn_updates=bn_updates)
     cur = mat
-    for i, (lb, lp, cb, cp) in enumerate(
-        zip(spec["lconvtwos"], params["lconvtwos"],
-            spec["convtwos"], params["convtwos"])
-    ):
+    # The 19-block schedule is 7 blocks then 2 identical groups of 6
+    # (DILATIONS_1M); inference scans the trailing groups (see
+    # _scan_repeated_groups).
+    group_len = 6
+    n_unroll = 7 if not train else len(spec["lconvtwos"])
+    for i in range(n_unroll):
+        lb, lp = spec["lconvtwos"][i], params["lconvtwos"][i]
+        cb, cp = spec["convtwos"][i], params["convtwos"][i]
         lout = apply_block(lp, lb, cur, path=f"{pre}lconvtwos/{i}", **kw)
         # First block maps 128->64 channels, so no residual on the l-branch
         # (orca_modules.py:787-798).
         cur = lout if i == 0 else lout + cur
         cur = apply_block(cp, cb, cur, path=f"{pre}convtwos/{i}", **kw) + cur
+    if n_unroll < len(spec["lconvtwos"]):
+        cur = _scan_repeated_groups(
+            cur,
+            params["lconvtwos"][n_unroll:], params["convtwos"][n_unroll:],
+            spec["lconvtwos"][n_unroll : n_unroll + group_len],
+            spec["convtwos"][n_unroll : n_unroll + group_len],
+            group_len,
+        )
     cur = apply_block(params["final"], spec["final"], cur,
                       path=f"{pre}final", **kw)
     return symmetrize(cur)

@@ -280,6 +280,8 @@ def apply_encoder_tower(
     halo_bp: int = 112000,
     block_group: Optional[int] = None,
     checkpoint_blocks: bool = False,
+    valid_start_bp=None,
+    valid_end_bp=None,
 ) -> jax.Array:
     """bp -> 4kb encoder forward with optional blocked execution.
 
@@ -295,6 +297,12 @@ def apply_encoder_tower(
         activation memory for 256Mb inputs). The true-sequence boundary is
         handled by masked execution (apply_encoder_stages_masked), so any
         window length reuses one compilation per shape.
+    valid_start_bp / valid_end_bp: optional (possibly traced) scalar bounds
+        of the *real* sequence inside x; positions outside are treated as
+        beyond the sequence boundary (per-layer zero padding semantics).
+        Used by the sequence-sharded tower, whose shards carry neighbor
+        halos / ppermute zeros at the mesh ends
+        (orca_tpu.parallel.sequence). Must be multiples of 4000.
     """
     # match the parameter dtype (bf16 params select the fast MXU path)
     param_dtype = params["lconv"][0][0]["w"].dtype
@@ -308,6 +316,9 @@ def apply_encoder_tower(
     from orca_tpu.utils.config import get_config
 
     cfg = get_config()
+    bounded = valid_start_bp is not None or valid_end_bp is not None
+    vs0 = valid_start_bp if valid_start_bp is not None else 0
+    ve0 = valid_end_bp if valid_end_bp is not None else length
     use_pallas = (
         pallas_encoder_enabled() and "bn" not in params["lconv"][0][0]
     )
@@ -323,8 +334,8 @@ def apply_encoder_tower(
             return apply_encoder_stages_pallas(
                 params,
                 to_compute_dtype(x, compute_dtype),
-                0,
-                length,
+                vs0,
+                ve0,
                 interpret=cfg.interpret_pallas,
             )
         block_group = block_group or max(1, 8_000_000 // block_bp)
@@ -338,8 +349,10 @@ def apply_encoder_tower(
         xd = to_compute_dtype(x, compute_dtype)
         if use_pallas:
             return apply_encoder_stages_pallas(
-                params, xd, 0, length, interpret=cfg.interpret_pallas
+                params, xd, vs0, ve0, interpret=cfg.interpret_pallas
             )
+        if bounded:
+            return apply_encoder_stages_masked(params, xd, vs0, ve0)
         return apply_encoder_stages(params, xd)
 
     if block_bp % BIN_BP or halo_bp % BIN_BP or length % BIN_BP:
@@ -363,10 +376,10 @@ def apply_encoder_tower(
     xb = jnp.moveaxis(xp[:, idx, :], 0, 1)  # (nblocks, N, seg_bp, C)
     xb = xb.reshape(nblocks * n, seg_bp, x.shape[2])
 
-    # Per-block valid bp range (sequence boundaries + tail padding).
+    # Per-block valid bp range (sequence/validity bounds + tail padding).
     seg_start_global = starts - halo_bp
-    vs = jnp.repeat(jnp.maximum(0, -seg_start_global), n)
-    ve = jnp.repeat(jnp.minimum(seg_bp, length - seg_start_global), n)
+    vs = jnp.repeat(jnp.clip(vs0 - seg_start_global, 0, seg_bp), n)
+    ve = jnp.repeat(jnp.clip(ve0 - seg_start_global, 0, seg_bp), n)
 
     def run_group(args):
         seg, gvs, gve = args

@@ -34,3 +34,28 @@ def make_mesh(axis_sizes: Optional[Tuple[int, int]] = None,
         raise ValueError(f"{axis_sizes} needs {need} devices, have {n}")
     arr = np.array(devices[:need]).reshape(axis_sizes)
     return Mesh(arr, axis_names)
+
+
+# Default mesh for inference cascades: when set, genomepredict /
+# genomepredict_256mb run the encoder sequence-sharded over its 'seq' axis
+# without every process_* caller having to thread a mesh argument.
+_INFERENCE_MESH: Optional[Mesh] = None
+
+
+def set_inference_mesh(mesh: Optional[Mesh]) -> None:
+    """Set (or clear, with None) the process-wide inference mesh."""
+    global _INFERENCE_MESH
+    _INFERENCE_MESH = mesh
+
+
+def get_inference_mesh() -> Optional[Mesh]:
+    return _INFERENCE_MESH
+
+
+def inference_mesh_from_seq_shards(seq_shards: int) -> Mesh:
+    """All-devices mesh with `seq_shards` sequence shards (the remaining
+    devices go to 'data' for batched window screening)."""
+    n = len(jax.devices())
+    if n % seq_shards:
+        raise ValueError(f"{seq_shards=} does not divide {n} devices")
+    return make_mesh((n // seq_shards, seq_shards))

@@ -9,6 +9,12 @@ links). Because the halo covers the tower's full receptive field
 (~104kb, encoders.RECEPTIVE_FIELD_BP), the sharded result is exactly the
 monolithic convolution: a device missing a neighbor (sequence boundary)
 receives zeros from ppermute, which is precisely the conv zero padding.
+
+Each shard's local forward is the ordinary `apply_encoder_tower` with
+traced validity bounds — so the sharded path inherits the full fast path:
+bf16 params, the fused Pallas chain kernels, packed uint8 inputs, and
+intra-shard blocking for long local extents (a 256Mb window on 8 chips is
+still 32Mb/chip).
 """
 
 from __future__ import annotations
@@ -53,14 +59,26 @@ def sharded_encoder_tower(
     seq_axis: str = "seq",
     batch_axis: Optional[str] = "data",
     halo_bp: int = 112_000,
+    block_bp: Optional[int] = None,
 ) -> jax.Array:
     """bp->4kb encoder with the length axis sharded over `seq_axis`.
 
-    x: (N, L, 4) with L divisible by (shards * 4000). Returns (N, L/4000,
-    128) sharded the same way. Call under jit for SPMD lowering.
+    x: (N, L, 4) one-hot (uint8 packed quarter-scale supported) with L
+    divisible by (shards * 4000). Returns (N, L/4000, 128) sharded the same
+    way. Call under jit for SPMD lowering. Compute dtype follows the param
+    dtype (bf16 params select the fast MXU/Pallas path), identical to the
+    single-device tower.
     """
     halo_bins = halo_bp // encoders.BIN_BP
-    in_batch = batch_axis if batch_axis in mesh.axis_names else None
+    # Shard the batch over `batch_axis` only when it divides evenly;
+    # otherwise replicate over it (e.g. a 2-row fwd+RC inference batch on a
+    # training mesh with a wider 'data' axis).
+    in_batch = (
+        batch_axis
+        if batch_axis in mesh.axis_names
+        and x.shape[0] % mesh.shape[batch_axis] == 0
+        else None
+    )
 
     @partial(
         shard_map,
@@ -71,18 +89,22 @@ def sharded_encoder_tower(
     )
     def run(p, xs):
         local_bp = xs.shape[1]
-        xs = _halo_exchange(xs.astype(jnp.float32), halo_bp, seq_axis)
+        xs = _halo_exchange(xs, halo_bp, seq_axis)
         # Edge shards receive zeros for the missing neighbor; masked
         # execution turns that into exact monolithic boundary semantics
-        # (per-layer conv zero padding), see apply_encoder_stages_masked.
+        # (per-layer conv zero padding at the traced bounds).
         idx = lax.axis_index(seq_axis)
         n_shards = lax.axis_size(seq_axis)
         valid_start = jnp.where(idx == 0, halo_bp, 0)
         valid_end = jnp.where(
             idx == n_shards - 1, halo_bp + local_bp, local_bp + 2 * halo_bp
         )
-        out = encoders.apply_encoder_stages_masked(
-            p, xs, valid_start, valid_end
+        out = encoders.apply_encoder_tower(
+            p, xs,
+            block_bp=block_bp,
+            halo_bp=halo_bp,
+            valid_start_bp=valid_start,
+            valid_end_bp=valid_end,
         )
         return out[:, halo_bins:-halo_bins, :]
 

@@ -78,14 +78,36 @@ def _device_sequence(sequence) -> jax.Array:
     return jnp.asarray(arr)
 
 
-def _encode_32mb(bundle: ModelBundle, seq: jax.Array) -> Dict[int, jax.Array]:
-    """One-hot (1, L, 4) -> encodings at levels 1..32 (finest L/4000 bins)."""
+def _encode_32mb(bundle: ModelBundle, seq: jax.Array,
+                 mesh=None) -> Dict[int, jax.Array]:
+    """One-hot (1, L, 4) -> encodings at levels 1..32 (finest L/4000 bins).
+
+    With a mesh, the bp-resolution tower (>=95% of the FLOPs) runs
+    sequence-sharded across its 'seq' axis with ppermute halo exchange; the
+    per-shard encoding tiles are then merged by an all-gather (the
+    replication constraint below) so the tiny pyramid/cascade run
+    replicated. The reference's equivalent is a *sequential* block loop on
+    one device (orca_modules.py:955-979).
+    """
     cfg = get_config()
-    # blocking left to the tower: the fused-Pallas path picks
-    # cfg.pallas_block_bp (4Mb) blocks, the XLA path cfg.encoder_block_bp.
-    feats = encoders.apply_encoder_tower(
-        bundle.encoder, seq, halo_bp=cfg.encoder_halo_bp,
-    )
+    if mesh is None:
+        # blocking left to the tower: the fused-Pallas path picks
+        # cfg.pallas_block_bp (4Mb) blocks, the XLA path cfg.encoder_block_bp.
+        feats = encoders.apply_encoder_tower(
+            bundle.encoder, seq, halo_bp=cfg.encoder_halo_bp,
+        )
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from orca_tpu.parallel.sequence import sharded_encoder_tower
+
+        feats = sharded_encoder_tower(
+            bundle.encoder, seq, mesh, halo_bp=cfg.encoder_halo_bp,
+        )
+        # all-gather the per-shard encoding tiles (8000x128 — a few MB)
+        feats = jax.lax.with_sharding_constraint(
+            feats, NamedSharding(mesh, P())
+        )
     encs = encoders.apply_pyramid(
         bundle.pyramid, feats, levels=5, up_pass=bundle.pyramid_up_pass
     )
@@ -127,11 +149,12 @@ def _vmap_crop_2d(pred: jax.Array, starts: jax.Array, size: int) -> jax.Array:
     )(pred, starts)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _encode_32mb_jit(bundle: ModelBundle, geom: CascadeGeometry, seq):
+@partial(jax.jit, static_argnums=(1, 3))
+def _encode_32mb_jit(bundle: ModelBundle, geom: CascadeGeometry, seq,
+                     mesh=None):
     """Encoder + pyramid for the orientation-batched input; one program."""
     seq2 = jnp.concatenate([seq, jnp.flip(seq, axis=(1, 2))], axis=0)
-    encs = _encode_32mb(bundle, seq2)
+    encs = _encode_32mb(bundle, seq2, mesh=mesh)
     return tuple(encs[lv] for lv in (1, 2, 4, 8, 16, 32))
 
 
@@ -187,7 +210,7 @@ def _combine_orientations(pred):
 
 
 def _cascade_32mb(bundle: ModelBundle, geom: CascadeGeometry, seq, mpos, wpos,
-                  log_normmats):
+                  log_normmats, mesh=None):
     """Full fwd+RC cascade; returns (stacked (6,N,crop,crop,C), starts (6,)).
 
     Both orientations run as one batch with per-row zoom starts (the fwd/RC
@@ -200,7 +223,7 @@ def _cascade_32mb(bundle: ModelBundle, geom: CascadeGeometry, seq, mpos, wpos,
     """
     n = seq.shape[0]
     encs = dict(zip((1, 2, 4, 8, 16, 32),
-                    _encode_32mb_jit(bundle, geom, seq)))
+                    _encode_32mb_jit(bundle, geom, seq, mesh)))
     lvl_list = sorted(bundle.decoders, reverse=True)  # [32, 16, ..., 1]
     preds = []
     starts = []
@@ -253,6 +276,7 @@ def genomepredict(
     annotation=None,
     nan_thresh: float = 1.0,
     geometry: CascadeGeometry = GEOM_32M,
+    mesh=None,
 ) -> dict:
     """Multiscale 32Mb prediction, API-compatible with the reference
     `genomepredict` (orca_predict.py:231): returns a dict with keys
@@ -261,7 +285,14 @@ def genomepredict(
     sequence: (1, 32000000, 4) one-hot (length-major layout, same as the
         reference's input convention).
     models: ModelBundle objects (e.g. from orca_tpu.models.zoo).
+    mesh: optional jax.sharding.Mesh with a 'seq' axis — the encoder runs
+        sequence-sharded across it (orca_tpu.parallel.sequence) and the
+        encoding tiles are merged with an all-gather.
     """
+    if mesh is None:
+        from orca_tpu.parallel.mesh import get_inference_mesh
+
+        mesh = get_inference_mesh()
     n_models = len(models)
     allpreds, allstarts = [], []
     for bundle in models:
@@ -272,6 +303,7 @@ def genomepredict(
             jnp.float32(mpos),
             jnp.float32(wpos),
             jnp.asarray(bundle.log_normmats()),
+            mesh=mesh,
         )
         allpreds.append(np.asarray(preds))
         allstarts.append(np.asarray(starts))
@@ -363,13 +395,28 @@ def _process_annotation(annotation, starts, window_bins, total_bins=BINS):
 # --------------------------------------------------------------------------
 
 
-def _encode_256mb(bundle: Model256MBundle, seq: jax.Array) -> Dict[int, jax.Array]:
+def _encode_256mb(bundle: Model256MBundle, seq: jax.Array,
+                  mesh=None) -> Dict[int, jax.Array]:
     cfg = get_config()
-    # blocking left to the tower: the fused-Pallas path picks
-    # cfg.pallas_block_bp (4Mb) blocks, the XLA path cfg.encoder_block_bp.
-    feats = encoders.apply_encoder_tower(
-        bundle.encoder, seq, halo_bp=cfg.encoder_halo_bp,
-    )
+    if mesh is None:
+        # blocking left to the tower: the fused-Pallas path picks
+        # cfg.pallas_block_bp (4Mb) blocks, the XLA path cfg.encoder_block_bp.
+        feats = encoders.apply_encoder_tower(
+            bundle.encoder, seq, halo_bp=cfg.encoder_halo_bp,
+        )
+    else:
+        # Whole-chromosome path tiled across chips: each shard encodes its
+        # 256Mb/n_seq slice, tiles merged via all-gather (BASELINE.md row 3).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from orca_tpu.parallel.sequence import sharded_encoder_tower
+
+        feats = sharded_encoder_tower(
+            bundle.encoder, seq, mesh, halo_bp=cfg.encoder_halo_bp,
+        )
+        feats = jax.lax.with_sharding_constraint(
+            feats, NamedSharding(mesh, P())
+        )
     enc128k = encoders.apply_pyramid(
         bundle.pyramid1, feats, levels=5, up_pass=True
     )[-1]
@@ -386,10 +433,11 @@ def _block_average(mat: jax.Array, start: jax.Array, factor: int,
     return crop.reshape(crop_bins, factor, crop_bins, factor).mean(axis=(1, 3))
 
 
-@partial(jax.jit, static_argnums=(1,))
-def _encode_256mb_jit(bundle: Model256MBundle, geom: CascadeGeometry, seq):
+@partial(jax.jit, static_argnums=(1, 3))
+def _encode_256mb_jit(bundle: Model256MBundle, geom: CascadeGeometry, seq,
+                      mesh=None):
     seq2 = jnp.concatenate([seq, jnp.flip(seq, axis=(1, 2))], axis=0)
-    encs = _encode_256mb(bundle, seq2)
+    encs = _encode_256mb(bundle, seq2, mesh=mesh)
     return tuple(encs[lv] for lv in (32, 64, 128, 256))
 
 
@@ -445,13 +493,13 @@ def _decode_level_256_jit(dec_params, enc_crop, geom: CascadeGeometry,
 
 
 def _cascade_256mb(bundle: Model256MBundle, geom: CascadeGeometry, seq, mpos,
-                   wpos, chrlen, normmat):
+                   wpos, chrlen, normmat, mesh=None):
     """Full fwd+RC 4-level cascade with per-region backgrounds, both
     orientations batched (reference loop: orca_predict.py:661-845),
     orchestrated as small shared jit programs like the 32Mb path."""
     n = seq.shape[0]
     encs = dict(zip((32, 64, 128, 256),
-                    _encode_256mb_jit(bundle, geom, seq)))
+                    _encode_256mb_jit(bundle, geom, seq, mesh)))
     lvl_list = sorted(bundle.decoders, reverse=True)  # [256, 128, 64, 32]
     preds, starts, norms = [], [], []
     start_bins = jnp.zeros((2 * n,), jnp.int32)
@@ -497,10 +545,17 @@ def genomepredict_256mb(
     padding_chr: Optional[str] = None,
     nan_thresh: float = 1.0,
     geometry: CascadeGeometry = GEOM_256M,
+    mesh=None,
 ) -> dict:
     """256Mb multiscale prediction (reference genomepredict_256Mb,
     orca_predict.py:543). `normmats` are per-region 8000x8000 backgrounds at
-    32kb resolution (cis distance lookup + trans fill), one per model."""
+    32kb resolution (cis distance lookup + trans fill), one per model.
+    With `mesh` the encoder tiles the window across the mesh's 'seq' axis
+    (all-gathered encodings; see genomepredict)."""
+    if mesh is None:
+        from orca_tpu.parallel.mesh import get_inference_mesh
+
+        mesh = get_inference_mesh()
     n_models = len(models)
     allpreds, allstarts, allnormmats = [], [], []
     for ii, bundle in enumerate(models):
@@ -516,6 +571,7 @@ def genomepredict_256mb(
             jnp.float32(wpos),
             jnp.float32(chrlen),
             jnp.asarray(normmat),
+            mesh=mesh,
         )
         allpreds.append(np.asarray(preds))
         allstarts.append(np.asarray(starts))

@@ -1,0 +1,87 @@
+"""Measure where the 32Mb-cascade cold compile time goes, program by program.
+
+Times jit lower+compile of each shared program the cascade uses
+(no persistent cache). Run on the target accelerator:
+
+    python scripts/profile_compile.py
+"""
+
+import os
+import sys
+import time
+
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(name, fn, *args):
+    t0 = time.time()
+    lowered = jax.jit(fn).lower(*args)
+    t1 = time.time()
+    lowered.compile()
+    t2 = time.time()
+    print(f"{name:34s} trace+lower {t1-t0:7.1f}s  compile {t2-t1:7.1f}s",
+          flush=True)
+
+
+def main():
+    from orca_tpu.models import zoo
+    from orca_tpu.predict import multiscale as ms
+    from orca_tpu.predict.multiscale import GEOM_32M
+
+    bundle = zoo.fold_bundle(zoo.random_32m_bundle(seed=0))
+    bundle = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        bundle,
+    )
+    log_nm = jnp.asarray(bundle.log_normmats())
+    seq = jnp.zeros((1, 32_000_000, 4), jnp.int8)
+    geom = GEOM_32M
+
+    timeit(
+        "encode_32mb (blocked+pyramid)",
+        lambda s: ms._encode_32mb_jit(bundle, geom, s), seq,
+    )
+
+    enc_crop = jnp.zeros((2, 250, 128), jnp.bfloat16)
+    start_bins = jnp.zeros((2,), jnp.int32)
+    coarse = jnp.zeros((2, 125, 125, 1), jnp.bfloat16)
+    args = (jnp.int32(32), log_nm[0], start_bins, jnp.float32(0.0),
+            jnp.float32(0.0))
+
+    timeit(
+        "decode level (no coarse)",
+        lambda e, *a: ms._decode_level_jit(
+            bundle.decoders[32], None, e, geom, bundle.upsample_mode, 1,
+            *a, None),
+        enc_crop, *args,
+    )
+    timeit(
+        "decode level (coarse)",
+        lambda e, c, *a: ms._decode_level_jit(
+            bundle.decoders[16], None, e, geom, bundle.upsample_mode, 1,
+            *a, c),
+        enc_crop, coarse, *args,
+    )
+    timeit(
+        "decode level (coarse+1pt)",
+        lambda e, c, *a: ms._decode_level_jit(
+            bundle.decoders[1], bundle.decoder_1pt, e, geom,
+            bundle.upsample_mode, 1, *a, c),
+        enc_crop, coarse, *args,
+    )
+    timeit(
+        "crop rows",
+        lambda e, s: ms._crop_rows_jit(e, s, 250),
+        jnp.zeros((2, 8000, 128), jnp.bfloat16), start_bins,
+    )
+
+
+if __name__ == "__main__":
+    main()
