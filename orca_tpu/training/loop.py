@@ -28,7 +28,9 @@ from orca_tpu.training.stages import (
     StageBConfig,
     StageCConfig,
     make_stage_a_step,
+    make_stage_b_eval,
     make_stage_b_step,
+    make_stage_c_eval,
     make_stage_c_step,
     stage_a_eval_metrics,
 )
@@ -46,6 +48,10 @@ class LoopConfig:
     max_steps: Optional[int] = None
     use_swa: bool = False
     seed: int = 314
+    # parallel input pipeline (reference SamplerDataLoader num_workers,
+    # train_h1esc_a.py:133); 0 = sample synchronously in the step loop
+    num_workers: int = 0
+    loader_backend: str = "process"
 
 
 def _checkpointer():
@@ -102,6 +108,9 @@ class StageATrainer:
         self.swa_state = (
             swa_lib.swa_init(self.params) if loop.use_swa else None
         )
+        self.bn_refresh = (
+            swa_lib.make_swa_bn_refresh(cfg) if loop.use_swa else None
+        )
         self.scheduler = optim.ReduceLROnPlateau(lr=loop.lr)
         self.step = 0
         self.logger = MetricsLogger(loop.workdir, "stage_a")
@@ -138,9 +147,18 @@ class StageATrainer:
     # -- training --------------------------------------------------------
 
     def train_batches(self) -> Iterator[tuple]:
-        while True:
-            out = self.sampler.sample(self.loop.batch_size, mode="train")
-            yield out
+        if self.loop.num_workers > 0:
+            from orca_tpu.data.pipeline import PrefetchLoader
+
+            with PrefetchLoader(
+                self.sampler, self.loop.batch_size, mode="train",
+                num_workers=self.loop.num_workers,
+                backend=self.loop.loader_backend, seed=self.loop.seed,
+            ) as loader:
+                yield from loader
+        else:
+            while True:
+                yield self.sampler.sample(self.loop.batch_size, mode="train")
 
     def run(self, max_steps: Optional[int] = None):
         max_steps = max_steps or self.loop.max_steps
@@ -157,6 +175,12 @@ class StageATrainer:
             )
             if self.swa_state is not None:
                 self.swa_state = swa_lib.swa_update(self.swa_state, self.params)
+                # BN-stat refresh: train-mode forward of the averaged params
+                # on this batch (train_h1esc_a.py:162-165)
+                self.rng, sub_bn = jax.random.split(self.rng)
+                self.swa_state = self.bn_refresh(
+                    self.swa_state, jnp.asarray(seq), sub_bn
+                )
             self.step += 1
             if self.step % self.loop.checkpoint_every == 0:
                 self.logger.log(self.step, lr=self.scheduler.lr, **metrics)
@@ -206,21 +230,99 @@ class StageBTrainer:
         self.nan_skip = nan_skip
         self.accumulate = accumulate
         self.opt, self.step_fn = make_stage_b_step(cfg)
+        self.eval_fn = make_stage_b_eval(cfg)
         self.opt_state = self.opt.init(trainable)
         self.scheduler = optim.ReduceLROnPlateau(lr=loop.lr)
         self.step = 0
         self.logger = MetricsLogger(loop.workdir, "stage_b")
         self.rng = jax.random.PRNGKey(loop.seed)
+        self._loader = None
 
-    def _accumulate_batch(self):
+    def _sample(self, mode: str):
+        """One sampler draw; training draws come from the prefetch workers
+        when num_workers > 0 (overlaps cooler fetches/coarse-graining with
+        the device step)."""
+        if mode == "train" and self.loop.num_workers > 0:
+            if self._loader is None:
+                from orca_tpu.data.pipeline import PrefetchLoader
+
+                self._loader = PrefetchLoader(
+                    self.sampler, 1, mode="train",
+                    num_workers=self.loop.num_workers,
+                    backend=self.loop.loader_backend, seed=self.loop.seed,
+                )
+            return self._loader.get()
+        return self.sampler.sample(1, mode=mode)
+
+    def close(self):
+        if self._loader is not None:
+            self._loader.close()
+            self._loader = None
+
+    def _accumulate_batch(self, mode: str = "train"):
         seqs, targets = [], []
         while len(seqs) < self.accumulate:
-            seq, target = self.sampler.sample(1, mode="train")[:2]
+            seq, target = self._sample(mode)[:2]
             if np.isnan(target).mean() > self.nan_skip:
                 continue
             seqs.append(seq[0])
             targets.append(target[0])
         return np.stack(seqs), np.stack(targets)
+
+    # -- checkpoint ------------------------------------------------------
+
+    def _state(self):
+        return {
+            "trainable": self.trainable,
+            "opt_state": self.opt_state,
+            "step": self.step,
+            "lr": self.scheduler.lr,
+        }
+
+    def save(self):
+        save_state(self.loop.workdir, self.step, self._state())
+
+    def try_restore(self) -> bool:
+        """Resume from the latest orbax checkpoint in workdir (the
+        reference's equivalent is the try/except reload at script start,
+        train_h1esc_b.py:106-130)."""
+        restored = restore_state(self.loop.workdir, self._state())
+        if restored is None:
+            return False
+        self.trainable = restored["trainable"]
+        self.opt_state = restored["opt_state"]
+        self.step = int(restored["step"])
+        self.scheduler.lr = float(restored["lr"])
+        return True
+
+    # -- validation ------------------------------------------------------
+
+    def validate(self) -> float:
+        """Fixed-offset validation cascade (train_h1esc_b.py:296-506):
+        per-level masked MSE + per-sample Pearson r on holdout windows.
+        Returns the mean-over-levels Pearson r (the plateau metric)."""
+        level_corrs = {lv: [] for lv in self.cfg.levels}
+        level_mses = {lv: [] for lv in self.cfg.levels}
+        for _ in range(self.loop.val_batches):
+            seq, target = self._accumulate_batch(mode="validate")
+            mses, corrs = self.eval_fn(
+                self.trainable, self.frozen, jnp.asarray(seq),
+                jnp.asarray(target), self.normmats, self.epss,
+            )
+            for lv in self.cfg.levels:
+                level_corrs[lv].append(np.asarray(corrs[lv]))
+                level_mses[lv].append(float(mses[lv]))
+        metrics = {}
+        for lv in self.cfg.levels:
+            metrics[f"val_pearson_{lv}"] = float(
+                np.nanmean(np.concatenate(level_corrs[lv]))
+            )
+            metrics[f"val_mse_{lv}"] = float(np.mean(level_mses[lv]))
+        corr = float(np.nanmean(
+            [metrics[f"val_pearson_{lv}"] for lv in self.cfg.levels]
+        ))
+        self.logger.log(self.step, val_pearson=corr, **metrics)
+        return corr
 
     def run(self, max_steps: Optional[int] = None):
         max_steps = max_steps or self.loop.max_steps
@@ -236,12 +338,10 @@ class StageBTrainer:
             self.step += 1
             if self.step % self.loop.checkpoint_every == 0:
                 self.logger.log(self.step, lr=self.scheduler.lr, **metrics)
-                save_state(self.loop.workdir, self.step, {
-                    "trainable": self.trainable,
-                    "opt_state": self.opt_state,
-                    "step": self.step,
-                    "lr": self.scheduler.lr,
-                })
+                self.save()
+            if self.step % self.loop.validate_every == 0:
+                corr = self.validate()
+                self.scheduler.step(corr)
         return metrics
 
 
@@ -260,16 +360,18 @@ class StageCTrainer(StageBTrainer):
         self.nan_skip = nan_skip
         self.accumulate = accumulate
         self.opt, self.step_fn = make_stage_c_step(cfg)
+        self.eval_fn = make_stage_c_eval(cfg)
         self.opt_state = self.opt.init(trainable)
         self.scheduler = optim.ReduceLROnPlateau(lr=loop.lr)
         self.step = 0
         self.logger = MetricsLogger(loop.workdir, "stage_c")
         self.rng = jax.random.PRNGKey(loop.seed)
+        self._loader = None
 
-    def _accumulate_batch(self):
+    def _accumulate_batch(self, mode: str = "train"):
         seqs, targets, normmats = [], [], []
         while len(seqs) < self.accumulate:
-            seq, target, normmat = self.sampler.sample(1, mode="train")[:3]
+            seq, target, normmat = self._sample(mode)[:3]
             if np.isnan(target).mean() > self.nan_skip:
                 continue
             nm = normmat[0]
@@ -280,6 +382,32 @@ class StageCTrainer(StageBTrainer):
             targets.append(target[0])
             normmats.append(nm)
         return np.stack(seqs), np.stack(targets), np.stack(normmats)
+
+    def validate(self) -> float:
+        """Stage-c fixed-offset validation (train_h1esc_c.py:257-420) with
+        per-sample backgrounds; returns mean-over-levels Pearson r."""
+        level_corrs = {lv: [] for lv in self.cfg.levels}
+        level_mses = {lv: [] for lv in self.cfg.levels}
+        for _ in range(self.loop.val_batches):
+            seq, target, normmat = self._accumulate_batch(mode="validate")
+            mses, corrs = self.eval_fn(
+                self.trainable, self.frozen, jnp.asarray(seq),
+                jnp.asarray(target), jnp.asarray(normmat),
+            )
+            for lv in self.cfg.levels:
+                level_corrs[lv].append(np.asarray(corrs[lv]))
+                level_mses[lv].append(float(mses[lv]))
+        metrics = {}
+        for lv in self.cfg.levels:
+            metrics[f"val_pearson_{lv}"] = float(
+                np.nanmean(np.concatenate(level_corrs[lv]))
+            )
+            metrics[f"val_mse_{lv}"] = float(np.mean(level_mses[lv]))
+        corr = float(np.nanmean(
+            [metrics[f"val_pearson_{lv}"] for lv in self.cfg.levels]
+        ))
+        self.logger.log(self.step, val_pearson=corr, **metrics)
+        return corr
 
     def run(self, max_steps: Optional[int] = None):
         max_steps = max_steps or self.loop.max_steps
@@ -295,10 +423,8 @@ class StageCTrainer(StageBTrainer):
             self.step += 1
             if self.step % self.loop.checkpoint_every == 0:
                 self.logger.log(self.step, lr=self.scheduler.lr, **metrics)
-                save_state(self.loop.workdir, self.step, {
-                    "trainable": self.trainable,
-                    "opt_state": self.opt_state,
-                    "step": self.step,
-                    "lr": self.scheduler.lr,
-                })
+                self.save()
+            if self.step % self.loop.validate_every == 0:
+                corr = self.validate()
+                self.scheduler.step(corr)
         return metrics

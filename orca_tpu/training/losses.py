@@ -53,6 +53,29 @@ def bce(pred: jax.Array, target: jax.Array, eps: float = 1e-7) -> jax.Array:
     return -jnp.mean(target * jnp.log(p) + (1 - target) * jnp.log1p(-p))
 
 
+def pearson_r_per_sample(pred: jax.Array, target: jax.Array,
+                         min_valid: float = 0.3) -> jax.Array:
+    """Per-sample Pearson r over finite target entries, NaN when fewer than
+    `min_valid` of the entries are valid (the reference validation metric,
+    train_h1esc_b.py:428-433)."""
+    n = pred.shape[0]
+    p = pred.reshape(n, -1)
+    t = target.reshape(n, -1)
+    valid = jnp.isfinite(t)
+    cnt = jnp.maximum(valid.sum(axis=1), 1)
+    tz = jnp.where(valid, t, 0.0)
+    pz = jnp.where(valid, p, 0.0)
+    mp = pz.sum(axis=1) / cnt
+    mt = tz.sum(axis=1) / cnt
+    dp = jnp.where(valid, p - mp[:, None], 0.0)
+    dt = jnp.where(valid, t - mt[:, None], 0.0)
+    cov = jnp.sum(dp * dt, axis=1)
+    denom = jnp.sqrt(jnp.sum(dp**2, axis=1) * jnp.sum(dt**2, axis=1))
+    r = cov / jnp.maximum(denom, 1e-12)
+    frac = valid.sum(axis=1) / t.shape[1]
+    return jnp.where(frac > min_valid, r, jnp.nan)
+
+
 def pearson_r(pred: jax.Array, target: jax.Array) -> jax.Array:
     """Pearson correlation over finite target entries (validation metric,
     train_h1esc_a.py:234-239)."""

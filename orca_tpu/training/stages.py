@@ -212,6 +212,117 @@ def make_stage_b_step(cfg: StageBConfig, encoder_fn=None):
     return opt, step
 
 
+def make_stage_b_eval(cfg: StageBConfig, encoder_fn=None):
+    """Jitted validation forward at the reference's fixed zoom offsets
+    (train_h1esc_b.py:465-476: start 0, then +63*32, then +62*level),
+    returning per-level (mse, per-sample pearson r with the >30%-valid
+    gate). Drives ReduceLROnPlateau in the trainer (the reference only
+    prints these; wiring them into the scheduler is a deliberate upgrade).
+    """
+    geom = cfg.geometry
+    crop, half = geom.crop, geom.half
+    if encoder_fn is None:
+        def encoder_fn(p, s):
+            return encoders.apply_encoder_tower(
+                p, s, block_bp=cfg.encoder_block_bp
+            )
+
+    @jax.jit
+    def evaluate(trainable, frozen, seq, target, normmats, epss):
+        feats = encoder_fn(frozen["encoder"], seq)
+        encs = dict(zip(
+            (1, 2, 4, 8, 16, 32),
+            encoders.apply_pyramid(
+                trainable["pyramid"], feats, levels=5, up_pass=cfg.up_pass,
+            ),
+        ))
+        start = 0
+        coarse = None
+        mses, corrs = {}, {}
+        for j, level in enumerate(cfg.levels):
+            target_r = _dynamic_downsample(target, start, crop, level)
+            distenc = jnp.broadcast_to(
+                jnp.log(normmats[j])[None, :, :, None],
+                (seq.shape[0], crop, crop, 1),
+            )
+            enc_crop = jax.lax.slice_in_dim(
+                encs[level], start // level, start // level + crop, axis=1
+            )
+            pred = decoders.apply_decoder(
+                trainable["decoders"][level], enc_crop, distenc, coarse,
+                upsample_mode=cfg.upsample_mode,
+            )
+            if (level == 1 and cfg.use_1pt
+                    and frozen.get("decoder_1pt") is not None):
+                pred = pred + decoders.apply_decoder1m(
+                    frozen["decoder_1pt"], enc_crop
+                )
+            tlog = losses.log_fold_target(target_r, normmats[j], epss[j])
+            mses[level] = losses.masked_mse(pred[..., 0], tlog)
+            corrs[level] = losses.pearson_r_per_sample(pred[..., 0], tlog)
+            # fixed zoom offsets: 63 after the coarsest level, 62 after
+            # the rest (train_h1esc_b.py:465-476), generalized to crop/2
+            off = half // 2 + 1 if j == 0 else half // 2
+            start = start + off * level
+            coarse = pred[:, off : off + half, off : off + half, :]
+        return mses, corrs
+
+    return evaluate
+
+
+def make_stage_c_eval(cfg: StageCConfig):
+    """Stage-c validation at the reference's fixed offsets
+    (train_h1esc_c.py:406-412: +62*32 after the coarsest, then +63*factor),
+    with per-sample background normmats."""
+    geom = cfg.geometry
+    crop, half = geom.crop, geom.half
+
+    @jax.jit
+    def evaluate(trainable, frozen, seq, target, normmat):
+        feats = encoders.apply_encoder_tower(
+            frozen["encoder"], seq, block_bp=cfg.encoder_block_bp
+        )
+        enc128k = encoders.apply_pyramid(
+            frozen["pyramid1"], feats, levels=5, up_pass=True
+        )[-1]
+        encs = dict(zip(
+            (32, 64, 128, 256),
+            encoders.apply_pyramid(
+                trainable["pyramid"], enc128k, levels=3, up_pass=True,
+            ),
+        ))
+        start = 0
+        coarse = None
+        mses, corrs = {}, {}
+        for j, level in enumerate(cfg.levels):
+            factor = geom.bins // (crop * 2**j)
+            target_r = _dynamic_downsample(target, start, crop, factor)
+            normmat_r = jax.vmap(
+                lambda m: _dynamic_downsample(m[None], start, crop, factor)[0]
+            )(normmat)
+            distenc = jnp.log(normmat_r)[..., None]
+            enc_crop = jax.lax.slice_in_dim(
+                encs[level], start // factor, start // factor + crop, axis=1
+            )
+            pred = decoders.apply_decoder(
+                trainable["decoders"][level], enc_crop, distenc, coarse,
+                upsample_mode=cfg.upsample_mode,
+            )
+            eps = jnp.nanmin(normmat_r)
+            tlog = losses.log_fold_target(target_r, normmat_r, eps)
+            mses[level] = losses.masked_mse(pred[..., 0], tlog,
+                                            normalize="full_count")
+            corrs[level] = losses.pearson_r_per_sample(pred[..., 0], tlog)
+            # fixed offsets: 62 after the coarsest, 63 after the rest
+            # (train_h1esc_c.py:406-412)
+            off = half // 2 if j == 0 else half // 2 + 1
+            start = start + off * factor
+            coarse = pred[:, off : off + half, off : off + half, :]
+        return mses, corrs
+
+    return evaluate
+
+
 def _dynamic_downsample(target: jax.Array, start, crop: int, factor: int):
     """NaN-aware block mean of target[:, start:start+crop*f, ...] with a
     dynamic start (in-jit version of train_h1esc_b.py:200-208)."""

@@ -4,13 +4,16 @@ parameters, updated after every optimizer step during the SWA phase.
 
 BatchNorm note: the reference refreshes the averaged model's BN running
 stats by forwarding each batch through the SWA model in train mode
-(train_h1esc_a.py:164-165); `swa_forward_update_bn` does the same here.
+(train_h1esc_a.py:164-165); `swa_forward_update_bn` /
+`make_swa_bn_refresh` do the same here.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from orca_tpu.nn.core import BNUpdates, merge_bn_updates
 
 
 def swa_init(params):
@@ -25,3 +28,36 @@ def swa_update(swa_state, params):
         params,
     )
     return {"avg": avg, "n": n + 1}
+
+
+def make_swa_bn_refresh(cfg):
+    """Returns refresh(swa_state, seq, rng) -> swa_state with the averaged
+    params' BatchNorm running stats updated by a train-mode forward of the
+    batch (the torch `swa_model(sequence)` call, train_h1esc_a.py:164-165).
+    `cfg` is a StageAConfig."""
+    from orca_tpu.nn import decoders
+
+    @jax.jit
+    def _collect(avg_params, seq, rng):
+        bn = BNUpdates()
+        decoders.apply_net(
+            avg_params, seq, num_1d=cfg.num_1d, train=True, rng=rng,
+            bn_updates=bn, remat=cfg.remat,
+        )
+        return bn.updates
+
+    def refresh(swa_state, seq, rng):
+        updates = _collect(swa_state["avg"], seq, rng)
+        bn = BNUpdates()
+        bn.updates = updates
+        return {
+            "avg": merge_bn_updates(swa_state["avg"], bn),
+            "n": swa_state["n"],
+        }
+
+    return refresh
+
+
+def swa_forward_update_bn(swa_state, cfg, seq, rng):
+    """One-shot convenience wrapper around make_swa_bn_refresh."""
+    return make_swa_bn_refresh(cfg)(swa_state, seq, rng)

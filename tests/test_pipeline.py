@@ -1,0 +1,53 @@
+"""PrefetchLoader: worker parallelism actually overlaps sampling.
+
+An artificially slow sampler (50ms per batch) must deliver N batches in
+well under N * 50ms through a multi-worker loader (the reference trains
+through SamplerDataLoader with up to 32 workers, train_h1esc_a.py:133)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from orca_tpu.data.pipeline import PrefetchLoader
+
+
+class SlowSampler:
+    def __init__(self, delay=0.05):
+        self.delay = delay
+        self.rng = np.random.default_rng(0)
+
+    def sample(self, batch_size, mode="train"):
+        time.sleep(self.delay)
+        seq = self.rng.random((batch_size, 100, 4)).astype(np.float32)
+        target = self.rng.random((batch_size, 10, 10)).astype(np.float32)
+        return seq, target
+
+
+@pytest.mark.parametrize("backend", ["process", "thread"])
+def test_prefetch_overlap(backend):
+    delay = 0.05
+    n_batches = 12
+    with PrefetchLoader(SlowSampler(delay), batch_size=2, num_workers=4,
+                        backend=backend) as loader:
+        # warm up: let workers start
+        loader.get(timeout=10)
+        t0 = time.time()
+        batches = [loader.get(timeout=10) for _ in range(n_batches)]
+        dt = time.time() - t0
+    assert len(batches) == n_batches
+    for seq, target in batches:
+        assert seq.shape == (2, 100, 4)
+        assert target.shape == (2, 10, 10)
+    # sequential sampling would take n_batches*delay = 0.6s; 4 workers
+    # should land well under half that even with scheduling slop
+    assert dt < n_batches * delay * 0.75, dt
+
+
+def test_workers_draw_distinct_batches():
+    with PrefetchLoader(SlowSampler(0.01), batch_size=1, num_workers=4,
+                        backend="process") as loader:
+        seqs = [loader.get(timeout=10)[0] for _ in range(8)]
+    # per-worker reseeding: no two batches identical
+    flat = [s.ravel()[:16].tolist() for s in seqs]
+    assert len({tuple(f) for f in flat}) > 1
