@@ -48,6 +48,10 @@ class OrcaConfig:
         "ORCA_TPU_RESOURCES", str(REPO_ROOT / "resources")
     )
     model_dir: str = os.environ.get("ORCA_TPU_MODELS", str(REPO_ROOT / "models"))
+    # chromatin-track bigWigs (the reference's ORCA_PATH/extra)
+    extra_dir: str = os.environ.get(
+        "ORCA_TPU_EXTRA", str(REPO_ROOT / "extra")
+    )
     compute_dtype: str = "float32"
     param_dtype: str = "float32"
     # 800kb blocks batched ~20 at a time measure ~2-3x faster on v5e than

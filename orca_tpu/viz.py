@@ -25,30 +25,12 @@ def _mpl():
     return matplotlib, plt
 
 
-_CONTACT_CMAP = None
-
-
 def contact_cmap():
-    """Diverging contact-map colormap: blue (depleted) -> white ->
-    yellow/orange/red (enriched), gray for missing data."""
-    global _CONTACT_CMAP
-    if _CONTACT_CMAP is None:
-        mpl, _ = _mpl()
-        stops = [
-            (0.00, "#2166ac"),
-            (0.18, "#67a9cf"),
-            (0.33, "#ffffff"),
-            (0.50, "#fee090"),
-            (0.66, "#fc8d59"),
-            (0.83, "#d73027"),
-            (1.00, "#7f0000"),
-        ]
-        cmap = mpl.colors.LinearSegmentedColormap.from_list(
-            "orca_tpu_contacts", stops
-        )
-        cmap.set_bad(color="#AAAAAA")
-        _CONTACT_CMAP = cmap
-    return _CONTACT_CMAP
+    """Default contact-map palette: the reference's `hnh_cmap_ext5`
+    (value-matched, see orca_tpu.colormaps)."""
+    from orca_tpu.colormaps import hnh_cmap_ext5
+
+    return hnh_cmap_ext5()
 
 
 def _draw_anno(ax, annos, n: int):
@@ -104,8 +86,6 @@ def _plot_grid(
             ax = axes[ri][j]
             if kind == "pred":
                 mat = np.array(preds[mi][j], dtype=float)
-                if maskpred and exps:
-                    mat[np.isnan(np.array(exps[mi][j], dtype=float))] = np.nan
                 label = f"{model_labels[mi]} pred"
             else:
                 mat = np.array(exps[mi][j], dtype=float)
@@ -114,8 +94,21 @@ def _plot_grid(
                 nm = output["normmats"][mi]
                 nm_j = nm[j] if not isinstance(nm, dict) else list(nm.values())[j]
                 mat = mat + np.log(np.asarray(nm_j, dtype=float))
-            im = ax.imshow(mat, cmap=cmap, vmin=vmin, vmax=vmax,
-                           interpolation="none")
+                # reference scales unscaled panels to the first
+                # off-diagonal's max (orca_utils.py:195-202)
+                im = ax.imshow(mat, cmap=cmap,
+                               vmax=np.max(np.diag(mat, k=1)),
+                               interpolation="none")
+            else:
+                im = ax.imshow(mat, cmap=cmap, vmin=vmin, vmax=vmax,
+                               interpolation="none")
+            if kind == "pred" and maskpred and exps:
+                # semi-transparent overlay of the observed-data NaN mask
+                # (orca_utils.py:217-221)
+                from orca_tpu.colormaps import bwcmap
+
+                ax.imshow(np.isnan(np.array(exps[mi][j], dtype=float)),
+                          cmap=bwcmap(), interpolation="none")
             _draw_anno(ax, (output.get("annos") or [None] * n_levels)[j],
                        mat.shape[0])
             ax.set_xticks([])
@@ -142,7 +135,14 @@ def _plot_grid(
     if colorbar:
         fig.colorbar(im, ax=axes, fraction=0.012, pad=0.01)
     if file is not None:
-        fig.savefig(file, bbox_inches="tight", dpi=150)
+        if str(file).endswith(".pdf"):
+            # PdfPages output like the reference (orca_utils.py:528-538)
+            from matplotlib.backends.backend_pdf import PdfPages
+
+            with PdfPages(file) as pdf:
+                pdf.savefig(fig, dpi=300, bbox_inches="tight")
+        else:
+            fig.savefig(file, bbox_inches="tight", dpi=150)
         plt.close(fig)
         return None
     return fig
@@ -162,8 +162,13 @@ def genomeplot(
     vmin: float = -1,
     vmax: float = 2,
     model_labels: Optional[List[str]] = None,
+    genes_bed: Optional[str] = None,
+    track_bigwigs: Optional[List[str]] = None,
 ):
-    """32Mb multiscale plot (reference orca_utils.py:67-538)."""
+    """32Mb multiscale plot (reference orca_utils.py:67-538). With
+    show_genes/show_tracks and a `file`, gene/chromatin-track panels for
+    each zoom window are written to `<stem>.anno.pdf` (resource paths
+    default to the configured resource/extra dirs)."""
     fig = _plot_grid(
         output, n_levels=len(output["predictions"][0]), level_span_bp=32000000,
         file=file, model_labels=model_labels,
@@ -172,7 +177,9 @@ def genomeplot(
         maskpred=maskpred, colorbar=colorbar,
     )
     if file is not None and (show_genes or show_tracks):
-        plot_annotation_panels(output, file, show_genes, show_tracks)
+        plot_annotation_panels(output, file, show_genes, show_tracks,
+                               genes_bed=genes_bed,
+                               track_bigwigs=track_bigwigs)
     return fig
 
 
@@ -200,53 +207,137 @@ def genomeplot_256mb(
     )
 
 
+def _default_panel_resources(genes_bed, track_bigwigs):
+    """Resolve gene/track resource paths against the configured dirs
+    (the reference hardcodes ORCA_PATH/resources + ORCA_PATH/extra,
+    orca_utils.py:258-295); missing files disable the panel with a
+    warning, like the reference's availability checks."""
+    import glob
+    import os
+    import warnings
+
+    from orca_tpu.utils.config import get_config
+
+    cfg = get_config()
+    if genes_bed is None:
+        genes_bed = os.path.join(
+            cfg.resource_dir, "hg38.refGeneSelectMANE.bed.gz"
+        )
+    if genes_bed and not os.path.exists(genes_bed):
+        warnings.warn(f"gene panel disabled: {genes_bed} not found")
+        genes_bed = None
+    if track_bigwigs is None:
+        track_bigwigs = sorted(glob.glob(os.path.join(cfg.extra_dir,
+                                                      "*.bigWig")))
+    track_bigwigs = [p for p in track_bigwigs if os.path.exists(p)]
+    return genes_bed, track_bigwigs
+
+
+def _read_bed_intervals(path: str, chrom: str, start: int, end: int):
+    """Minimal BED reader ((chrom, start, end, name) rows overlapping the
+    window); handles .gz."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    rows = []
+    with opener(path, "rt") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 3 or parts[0] != chrom:
+                continue
+            s, e = int(parts[1]), int(parts[2])
+            if e <= start or s >= end:
+                continue
+            name = parts[3] if len(parts) > 3 else ""
+            rows.append((s, e, name))
+    return rows
+
+
 def plot_annotation_panels(output: dict, file: str, show_genes: bool,
                            show_tracks: bool,
                            genes_bed: Optional[str] = None,
                            track_bigwigs: Optional[List[str]] = None):
-    """Gene / chromatin-track panels matching the prediction windows.
+    """Gene / chromatin-track panels for each zoom window, written as a
+    multi-page `<stem>.anno.pdf` (one page per level, like the reference's
+    pygenometracks pages, orca_utils.py:295-538).
 
-    Uses pygenometracks when available (the reference renders these via a
-    generated tracks INI, orca_utils.py:295-525); silently skips with a
-    warning otherwise so the core pipeline has no hard viz dependencies.
+    Rendering is built-in matplotlib: genes from the BED(.gz) as stacked
+    interval glyphs; bigWig signal tracks via pyBigWig when importable
+    (warned and skipped otherwise — pyBigWig is the only optional native
+    dependency here).
     """
-    try:
-        import pygenometracks.tracksClass  # noqa: F401
-    except ImportError:
-        global _WARNED_NO_TRACKS
-        if not globals().get("_WARNED_NO_TRACKS"):
-            import warnings
+    import os
+    import warnings
 
-            warnings.warn(
-                "pygenometracks not installed; skipping gene/track panels"
-            )
-            _WARNED_NO_TRACKS = True
+    _, plt = _mpl()
+    from matplotlib.backends.backend_pdf import PdfPages
+
+    genes_bed, track_bigwigs = _default_panel_resources(
+        genes_bed, track_bigwigs
+    )
+    if show_genes and genes_bed is None:
+        show_genes = False
+    bw_handles = []
+    if show_tracks:
+        if not track_bigwigs:
+            warnings.warn("track panel disabled: no .bigWig files found")
+            show_tracks = False
+        else:
+            try:
+                import pyBigWig  # noqa: F401
+
+                bw_handles = [(os.path.basename(p).rsplit(".", 1)[0],
+                               pyBigWig.open(p)) for p in track_bigwigs]
+            except ImportError:
+                warnings.warn("pyBigWig not installed; skipping tracks")
+                show_tracks = False
+    if not (show_genes or show_tracks):
         return
-    import tempfile
 
-    ini = []
-    if show_genes and genes_bed:
-        ini.append(
-            f"[genes]\nfile = {genes_bed}\ntitle = genes\nheight = 3\n"
-            "file_type = bed\n"
-        )
-    if show_tracks and track_bigwigs:
-        for bw in track_bigwigs:
-            ini.append(
-                f"[{bw}]\nfile = {bw}\nheight = 1.5\nfile_type = bigwig\n"
+    stem = file.rsplit(".", 1)[0] if "." in os.path.basename(file) else file
+    anno_path = f"{stem}.anno.pdf"
+    chrom = output["chr"]
+    with PdfPages(anno_path) as pdf:
+        for start, end in zip(output["start_coords"], output["end_coords"]):
+            n_rows = (1 if show_genes else 0) + len(bw_handles)
+            fig, axes = plt.subplots(
+                n_rows, 1, figsize=(10, 1.2 * n_rows + 1.2), squeeze=False,
+                sharex=True,
             )
-    if not ini:
-        return
-    with tempfile.NamedTemporaryFile(
-        "w", suffix=".ini", delete=False
-    ) as f:
-        f.write("\n".join(ini))
-        ini_path = f.name
-    from pygenometracks.tracksClass import PlotTracks
-
-    trp = PlotTracks(ini_path, dpi=100)
-    for j, (start, end) in enumerate(
-        zip(output["start_coords"], output["end_coords"])
-    ):
-        fig_file = f"{file}.anno.{j}.pdf"
-        trp.plot(fig_file, output["chr"], start, end)
+            axes = axes[:, 0]
+            ri = 0
+            if show_genes:
+                ax = axes[ri]
+                ri += 1
+                genes = _read_bed_intervals(genes_bed, chrom, start, end)
+                for k, (gs, ge, name) in enumerate(genes):
+                    lane = k % 6
+                    ax.plot([max(gs, start), min(ge, end)], [lane, lane],
+                            lw=3, color="#2166ac", solid_capstyle="butt")
+                    if len(genes) <= 40 and name:
+                        ax.text(max(gs, start), lane + 0.25, name,
+                                fontsize=5, clip_on=True)
+                ax.set_ylim(-0.7, 6)
+                ax.set_yticks([])
+                ax.set_ylabel("genes", fontsize=8)
+            for label, bw in bw_handles:
+                ax = axes[ri]
+                ri += 1
+                try:
+                    nb = 1000
+                    vals = bw.stats(chrom, int(start), int(end), nBins=nb)
+                    vals = np.array(
+                        [v if v is not None else 0.0 for v in vals]
+                    )
+                    xs = np.linspace(start, end, nb)
+                    ax.fill_between(xs, 0, vals, color="#555555", lw=0)
+                except RuntimeError:
+                    pass
+                ax.set_yticks([])
+                ax.set_ylabel(label, fontsize=6)
+            axes[-1].set_xlim(start, end)
+            axes[-1].set_xlabel(f"{chrom}:{start:,}-{end:,}", fontsize=8)
+            pdf.savefig(fig, bbox_inches="tight")
+            plt.close(fig)
+    for _, bw in bw_handles:
+        bw.close()
