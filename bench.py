@@ -45,7 +45,10 @@ def main():
 
     rng = np.random.RandomState(0)
     codes = rng.randint(0, 4, size=32_000_000)
-    seq_np = np.eye(4, dtype=np.int8)[codes][None]
+    # packed quarter-scale uint8 one-hot — the production transfer format
+    # (predict.multiscale._device_sequence), so bench shares the compiled
+    # programs with the real predict pipelines
+    seq_np = (np.eye(4, dtype=np.uint8) * 4)[codes][None]
     seq = jnp.asarray(seq_np)
     mpos = jnp.float32(16_000_000.0)
     wpos = jnp.float32(16_000_000.0)

@@ -60,6 +60,10 @@ def main(argv=None):
         p.add_argument("--resource-dir", default=None)
         p.add_argument("--no-target", action="store_true",
                        help="skip observed micro-C retrieval")
+        p.add_argument("--seq-shards", type=int, default=1,
+                       help="shard the encoder sequence axis over this many "
+                       "devices (multi-chip inference; must divide the "
+                       "device count)")
 
     p = sub.add_parser("build-genome", help="FASTA -> code memmap")
     p.add_argument("fasta")
@@ -78,7 +82,39 @@ def main(argv=None):
 
     p = sub.add_parser("bench", help="run the standard benchmark")
 
+    p = sub.add_parser(
+        "certify",
+        help="checkpoint parity report vs the reference implementation",
+    )
+    p.add_argument("reference", help="path to a jzhoulab/orca checkout")
+    p.add_argument("--model-dir", default=None)
+    p.add_argument("--resource-dir", default=None)
+    p.add_argument("--names", default="h1esc,hff")
+    p.add_argument("--atol", type=float, default=2e-3)
+    p.add_argument("--out", default=None, help="write JSON report here")
+
     args = parser.parse_args(argv)
+
+    if args.command == "certify":
+        import json
+
+        from orca_tpu.certify import certify_32m
+        from orca_tpu.utils.config import get_config
+
+        cfg = get_config()
+        report = certify_32m(
+            args.model_dir or cfg.model_dir,
+            args.resource_dir or cfg.resource_dir,
+            args.reference,
+            names=tuple(args.names.split(",")),
+            atol=args.atol,
+        )
+        text = json.dumps(report, indent=2)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(text)
+        print(text)
+        return 0 if report["pass"] else 1
 
     if args.command == "build-genome":
         from orca_tpu.data.genome import MemmapGenome
@@ -124,6 +160,14 @@ def main(argv=None):
     # prediction modes
     from orca_tpu.predict import pipelines
     from orca_tpu.predict.resources import load_resources
+
+    if getattr(args, "seq_shards", 1) > 1:
+        from orca_tpu.parallel.mesh import (
+            inference_mesh_from_seq_shards,
+            set_inference_mesh,
+        )
+
+        set_inference_mesh(inference_mesh_from_seq_shards(args.seq_shards))
 
     # validate the coordinate before loading gigabytes of resources
     try:

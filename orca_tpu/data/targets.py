@@ -183,11 +183,9 @@ class BinnedBedFeatures:
             ivs, ive = self._index[key]
             if self.mode == "center":
                 centers = bin_starts + self.bin_size // 2
-                # bin hit if some interval covers its center bp
+                # bin hit if some interval covers its center bp; a running
+                # max of interval ends handles overlapping intervals
                 j = np.searchsorted(ivs, centers, side="right") - 1
-                hit = (j >= 0) & (centers < ive[np.clip(j, 0, None)])
-                # handle overlapping intervals: also check earlier intervals
-                # via a running max of ends
                 run_end = np.maximum.accumulate(ive)
                 hit = (j >= 0) & (centers < run_end[np.clip(j, 0, None)])
                 targets[fi, hit] = 1.0
@@ -199,10 +197,23 @@ class BinnedBedFeatures:
                     hit = (j >= 0) & (bin_starts < run_end[np.clip(j, 0, None)])
                     targets[fi, hit] = 1.0
                 elif self.mode == "proportion":
-                    for s, e in zip(ivs, ive):
-                        lo = np.maximum(bin_starts, s)
-                        hi = np.minimum(bin_ends, e)
-                        targets[fi] += np.maximum(hi - lo, 0) / self.bin_size
+                    # restrict to intervals overlapping the query window
+                    # (run_end monotonic over the start-sorted list), then
+                    # one broadcasted clipped-overlap sum — exact per-
+                    # interval contributions (overlaps may double-count,
+                    # like the per-interval reference accumulation) without
+                    # the per-interval Python loop
+                    i0 = np.searchsorted(run_end, start, side="right")
+                    i1 = np.searchsorted(ivs, end, side="left")
+                    if i1 > i0:
+                        s_w = ivs[i0:i1][:, None]
+                        e_w = ive[i0:i1][:, None]
+                        ov = np.clip(
+                            np.minimum(e_w, bin_ends[None, :])
+                            - np.maximum(s_w, bin_starts[None, :]),
+                            0, None,
+                        )
+                        targets[fi] += ov.sum(axis=0) / self.bin_size
                 else:
                     raise ValueError(f"unknown mode {self.mode}")
         return targets

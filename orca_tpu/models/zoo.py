@@ -149,9 +149,11 @@ _EXPECTED_FILES = {
 
 
 def load_32m_bundle(model_dir: str, resource_dir: str, name: str,
-                    fold: bool = True) -> ModelBundle:
+                    fold: bool = True, nbins: int = 8000,
+                    crop: int = 250) -> ModelBundle:
     """Assemble a 1-32Mb bundle from reference-format statedicts
-    (orca_models.py:41-175 for H1esc; :335-446 for the HCTnoc variants)."""
+    (orca_models.py:41-175 for H1esc; :335-446 for the HCTnoc variants).
+    nbins/crop override the background geometry for scaled test runs."""
     up_pass = name != "hctnoc"
     upsample_mode = "bilinear" if name != "hctnoc" else "nearest"
     sd = convert.load_statedict(os.path.join(model_dir, f"orca_{name}.net.statedict"))
@@ -170,7 +172,8 @@ def load_32m_bundle(model_dir: str, resource_dir: str, name: str,
         )
         dec[level] = convert.convert_decoder(dsd)
     expected_log = np.load(os.path.join(resource_dir, _EXPECTED_FILES[name]))
-    normmats, epss = normmats_from_expectation(expected_log)
+    normmats, epss = normmats_from_expectation(expected_log, nbins=nbins,
+                                               crop=crop)
     bundle = ModelBundle(
         name=name,
         encoder=encoder,

@@ -23,12 +23,26 @@ _MCOOLS = {"h1esc": "4DNFI9GMP2J8", "hff": "4DNFI643OYP9"}
 @dataclasses.dataclass
 class OrcaResources:
     models: Dict[str, object]
-    genome: Optional[CodeGenome]
+    genome: Optional[CodeGenome]  # hg38
     targets: Dict[str, object]
     target_available: bool
+    # optional hg19 genome for GRCh37 coordinates (orca_predict.py:158-175)
+    genome_hg19: Optional[CodeGenome] = None
 
     def bundles(self, names: List[str]):
         return [self.models[n] for n in names]
+
+    def get_genome(self, assembly: str = "hg38"):
+        if assembly in ("hg38", "GRCh38"):
+            return self.genome
+        if assembly in ("hg19", "GRCh37"):
+            if self.genome_hg19 is None:
+                raise ValueError(
+                    "hg19 requested but Homo_sapiens.GRCh37.75 resources "
+                    "are not present in the resource dir"
+                )
+            return self.genome_hg19
+        raise ValueError(f"unknown assembly {assembly!r}")
 
 
 def load_resources(models=("32M",), model_dir: Optional[str] = None,
@@ -61,18 +75,22 @@ def load_resources(models=("32M",), model_dir: Optional[str] = None,
                 model_dir, resource_dir, name
             )
 
-    genome = _load_genome(resource_dir, use_memmapgenome)
+    genome = _load_genome(
+        resource_dir, use_memmapgenome,
+        "Homo_sapiens.GRCh38.dna.primary_assembly",
+    )
+    genome_hg19 = _load_genome(
+        resource_dir, use_memmapgenome,
+        "Homo_sapiens.GRCh37.75.dna.primary_assembly",
+    )
     targets, available = _load_targets(resource_dir)
-    return OrcaResources(out_models, genome, targets, available)
+    return OrcaResources(out_models, genome, targets, available,
+                         genome_hg19=genome_hg19)
 
 
-def _load_genome(resource_dir: str, use_memmap: bool):
-    code_mmap = os.path.join(
-        resource_dir, "Homo_sapiens.GRCh38.dna.primary_assembly.codes.mmap"
-    )
-    fasta = os.path.join(
-        resource_dir, "Homo_sapiens.GRCh38.dna.primary_assembly.fa"
-    )
+def _load_genome(resource_dir: str, use_memmap: bool, stem: str):
+    code_mmap = os.path.join(resource_dir, f"{stem}.codes.mmap")
+    fasta = os.path.join(resource_dir, f"{stem}.fa")
     if use_memmap and os.path.exists(code_mmap):
         return MemmapGenome(code_mmap)
     if os.path.exists(fasta):
@@ -92,8 +110,13 @@ def _load_targets(resource_dir: str):
         if not os.path.exists(mcool):
             available = False
             continue
-        for suffix, res in (("", 4000), ("_256m", 32000), ("_1m", 1000)):
+        # per-resolution window shapes: 32Mb@4kb and 256Mb@32kb are
+        # 8000x8000; the 1Mb model's 1kb target window is 1000x1000
+        # (orca_predict.py:178-226)
+        for suffix, res, nbins in (
+            ("", 4000, 8000), ("_256m", 32000, 8000), ("_1m", 1000, 1000)
+        ):
             targets[f"{name}{suffix}"] = CoolerContactMatrix(
-                f"{mcool}::/resolutions/{res}", (8000, 8000), cg=True
+                f"{mcool}::/resolutions/{res}", (nbins, nbins), cg=True
             )
     return targets, available

@@ -18,9 +18,9 @@ from orca_tpu.models import convert
 from orca_tpu.models.zoo import ModelBundle, _random_normmats
 from orca_tpu.predict.multiscale import CascadeGeometry, _cascade_32mb
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not reference_available(), reason="reference repo or torch unavailable"
-)
+)]
 
 if reference_available():
     import torch
@@ -54,70 +54,9 @@ def _build_pair(seed=0):
     return (net0, net, denets, denet_1pt, normmats), bundle
 
 
-def _torch_cascade(modules, seq_np, mpos, wpos, geom):
-    """Reference genomepredict loop at scaled geometry (torch, no_grad)."""
-    net0, net, denets, denet_1pt, normmats = modules
-    crop, half = geom.crop, geom.half
-    allpreds = []
-    allstarts = []
-    with torch.no_grad():
-        for iii, seq in enumerate(
-            [seq_np, np.ascontiguousarray(seq_np[:, ::-1, ::-1])]
-        ):
-            x = torch.FloatTensor(seq).transpose(1, 2)
-            encodings = dict(zip((1, 2, 4, 8, 16, 32), net(net0(x))))
-            preds = []
-            starts = [0]
-            for j, level in enumerate((32, 16, 8, 4, 2, 1)):
-                distenc = torch.log(
-                    torch.FloatTensor(normmats[level][None, None])
-                )
-                enc_crop = encodings[level][
-                    :, :, starts[j] // level : starts[j] // level + crop
-                ]
-                if j == 0:
-                    pred = denets[level](enc_crop, distenc)
-                else:
-                    coarse = preds[j - 1][
-                        :, :, start_index : start_index + half,
-                        start_index : start_index + half,
-                    ]
-                    pred = denets[level](enc_crop, distenc, coarse)
-                    if level == 1:
-                        pred = pred + denet_1pt(enc_crop)
-                span4 = geom.span_bp(level) / 4
-                halfwin = geom.window_bp / 2
-                if iii == 0:
-                    start_index = int(
-                        np.clip(
-                            np.floor(
-                                ((mpos - span4) - (wpos - halfwin + starts[j] * 4000))
-                                / (4000 * level)
-                            ),
-                            0, half,
-                        )
-                    )
-                else:
-                    start_index = int(
-                        np.clip(
-                            np.ceil(
-                                ((wpos + halfwin - starts[j] * 4000) - (mpos + span4))
-                                / (4000 * level)
-                            ),
-                            0, half,
-                        )
-                    )
-                starts.append(starts[j] + start_index * level)
-                preds.append(pred)
-            allpreds.append(preds)
-            if iii == 0:
-                allstarts = starts[:-1]
-    outs = [
-        allpreds[0][j].numpy()[0, 0] * 0.5
-        + allpreds[1][j].numpy()[0, 0, ::-1, ::-1] * 0.5
-        for j in range(6)
-    ]
-    return outs, allstarts
+# the oracle zoom loop lives in the certification module so the same code
+# path that certifies real checkpoints is what these tests validate
+from orca_tpu.certify import torch_cascade_32m as _torch_cascade
 
 
 @pytest.mark.parametrize("mpos_frac", [0.5, 0.13, 0.97])

@@ -16,9 +16,9 @@ from orca_tpu.models.zoo import Model256MBundle
 from orca_tpu.predict.multiscale import CascadeGeometry, _cascade_256mb
 from orca_tpu.predict.retrieval import assemble_normmat
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not reference_available(), reason="reference repo or torch unavailable"
-)
+)]
 
 if reference_available():
     import torch

@@ -10,9 +10,9 @@ from conftest import import_reference_leukemia, reference_available
 from orca_tpu.models import convert
 from orca_tpu.nn import decoders, encoders
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not reference_available(), reason="reference repo or torch unavailable"
-)
+)]
 
 if reference_available():
     import torch

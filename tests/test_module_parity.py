@@ -18,9 +18,9 @@ from orca_tpu.models import convert
 from orca_tpu.nn import decoders, encoders
 from orca_tpu.nn.core import fold_params
 
-pytestmark = pytest.mark.skipif(
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
     not reference_available(), reason="reference repo or torch unavailable"
-)
+)]
 
 if reference_available():
     import torch

@@ -10,6 +10,9 @@ from orca_tpu.nn import decoders
 from orca_tpu.predict.onemb import predict_1m, screen_windows
 
 
+pytestmark = pytest.mark.slow
+
+
 def _bundle(num_1d=4):
     net = decoders.init_net(jax.random.PRNGKey(0), num_1d=num_1d)
     d = np.arange(1000, dtype=np.float64)

@@ -24,6 +24,9 @@ from orca_tpu.ops.pallas.conv1d import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 def _rng(*shape):
     return (
         np.random.RandomState(hash(shape) % 2**31)

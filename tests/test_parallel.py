@@ -16,6 +16,9 @@ from orca_tpu.parallel.sequence import sharded_encoder_tower
 from orca_tpu.training.stages import StageAConfig, make_stage_a_step
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_devices_available():
     assert len(jax.devices()) == 8
 

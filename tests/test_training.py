@@ -19,6 +19,9 @@ from orca_tpu.training.stages import (
 )
 
 
+pytestmark = pytest.mark.slow
+
+
 def test_downsample_nanmean():
     t = np.arange(16, dtype=np.float32).reshape(1, 4, 4)
     t[0, 0, 0] = np.nan
