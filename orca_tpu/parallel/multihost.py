@@ -53,5 +53,31 @@ def local_batch_slice(global_batch: int) -> slice:
     return slice(start, start + per)
 
 
+def shard_batch(mesh: Mesh, *arrays, batch_axis: str = "data"):
+    """Place per-host numpy batches as global arrays sharded over
+    `batch_axis`.
+
+    Each process passes only ITS slice of the global batch (see
+    local_batch_slice); jax assembles the global sharded array without
+    gathering data onto any single host. Single-process runs degenerate to
+    an ordinary device_put with a batch sharding. Replicated axes (all but
+    the first) stay unsharded.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    out = []
+    for arr in arrays:
+        arr = np.asarray(arr)
+        spec = P(batch_axis, *([None] * (arr.ndim - 1)))
+        sharding = NamedSharding(mesh, spec)
+        if jax.process_count() == 1:
+            out.append(jax.device_put(arr, sharding))
+        else:
+            out.append(
+                jax.make_array_from_process_local_data(sharding, arr)
+            )
+    return out[0] if len(out) == 1 else tuple(out)
+
+
 def is_primary() -> bool:
     return jax.process_index() == 0

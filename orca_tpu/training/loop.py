@@ -95,10 +95,15 @@ class StageATrainer:
 
     def __init__(self, cfg: StageAConfig, loop: LoopConfig, sampler,
                  normmat_r: np.ndarray, eps: float,
-                 params: Optional[dict] = None):
+                 params: Optional[dict] = None, mesh=None):
+        """mesh: optional jax Mesh with a 'data' axis — batches are placed
+        data-parallel across it (and across hosts via
+        parallel.multihost.shard_batch when running multi-process); params
+        and optimizer state are replicated."""
         self.cfg = cfg
         self.loop = loop
         self.sampler = sampler
+        self.mesh = mesh
         self.normmat_r = jnp.asarray(normmat_r, jnp.float32)
         self.eps = float(eps)
         self.opt, self.step_fn = make_stage_a_step(cfg)
@@ -115,6 +120,24 @@ class StageATrainer:
         self.step = 0
         self.logger = MetricsLogger(loop.workdir, "stage_a")
         self.rng = jax.random.PRNGKey(loop.seed + 1)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            repl = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, repl)
+            self.opt_state = jax.device_put(self.opt_state, repl)
+            if self.swa_state is not None:
+                self.swa_state = jax.device_put(self.swa_state, repl)
+
+    def _place(self, *arrays):
+        """Device placement for a batch: data-parallel over the mesh when
+        configured (multi-host safe), plain asarray otherwise."""
+        if self.mesh is None:
+            out = tuple(jnp.asarray(a) for a in arrays)
+            return out if len(out) > 1 else out[0]
+        from orca_tpu.parallel.multihost import shard_batch
+
+        return shard_batch(self.mesh, *arrays)
 
     # -- checkpoint ------------------------------------------------------
 
@@ -168,10 +191,10 @@ class StageATrainer:
                 (seq.shape[0], self.cfg.crop, 0), np.float32
             )
             self.rng, sub = jax.random.split(self.rng)
+            seq_d, target_d, target_1d_d = self._place(seq, target, target_1d)
             self.params, self.opt_state, metrics = self.step_fn(
-                self.params, self.opt_state, jnp.asarray(seq),
-                jnp.asarray(target), jnp.asarray(target_1d), sub,
-                jnp.float32(self.scheduler.lr), self.normmat_r, self.eps,
+                self.params, self.opt_state, seq_d, target_d, target_1d_d,
+                sub, jnp.float32(self.scheduler.lr), self.normmat_r, self.eps,
             )
             if self.swa_state is not None:
                 self.swa_state = swa_lib.swa_update(self.swa_state, self.params)
@@ -179,7 +202,7 @@ class StageATrainer:
                 # on this batch (train_h1esc_a.py:162-165)
                 self.rng, sub_bn = jax.random.split(self.rng)
                 self.swa_state = self.bn_refresh(
-                    self.swa_state, jnp.asarray(seq), sub_bn
+                    self.swa_state, seq_d, sub_bn
                 )
             self.step += 1
             if self.step % self.loop.checkpoint_every == 0:
