@@ -61,6 +61,15 @@ def main():
         # block_until_ready alone may not cover execution completion.
         return float(jnp.sum(preds[-1]))
 
+    # One-time transfer-channel setup: on tunneled backends (axon) the
+    # FIRST device->host fetch of a process pays the tunnel's data-plane
+    # initialization (measured 60-730s on v5e-lite via axon; subsequent
+    # multi-MB fetches are ~0.1s). Time it separately so compile_s below
+    # measures compilation, not infrastructure warm-up.
+    t0 = time.time()
+    np.asarray(jnp.zeros((1,), jnp.float32))
+    channel_setup_s = time.time() - t0
+
     # compile + warmup
     t0 = time.time()
     run()
@@ -80,6 +89,7 @@ def main():
         "vs_baseline": round(mb_per_s / A100_BASELINE_MB_PER_S, 3),
         "seconds_per_32Mb_window": round(dt, 3),
         "compile_s": round(compile_s, 1),
+        "channel_setup_s": round(channel_setup_s, 1),
         "device": str(jax.devices()[0]),
         "dtype": DTYPE,
     }

@@ -369,48 +369,54 @@ def apply_encoder_tower(
     pad_tail = nblocks * block_bp - length + halo_bp
     xp = jnp.pad(x, ((0, 0), (halo_bp, pad_tail), (0, 0)))
 
-    # Overlapping-window gather -> blocks on the batch axis:
-    # (N, L', C) -> (nblocks*N, seg_bp, C).
-    starts = jnp.arange(nblocks) * block_bp
-    idx = starts[:, None] + jnp.arange(seg_bp)[None, :]
-    xb = jnp.moveaxis(xp[:, idx, :], 0, 1)  # (nblocks, N, seg_bp, C)
-    xb = xb.reshape(nblocks * n, seg_bp, x.shape[2])
+    # Blocks-per-scan-step: `block_group`/_default_block_group cap the
+    # in-flight extent in ROWS of sequence (nblocks*n total); convert to
+    # whole blocks so each step batches bpg blocks x n rows.
+    rows_cap = block_group or _default_block_group(block_bp, nblocks * n)
+    bpg = max(1, min(nblocks, rows_cap // max(n, 1) or 1))
+    while nblocks % bpg:
+        bpg -= 1
 
-    # Per-block valid bp range (sequence/validity bounds + tail padding).
-    seg_start_global = starts - halo_bp
-    vs = jnp.repeat(jnp.clip(vs0 - seg_start_global, 0, seg_bp), n)
-    ve = jnp.repeat(jnp.clip(ve0 - seg_start_global, 0, seg_bp), n)
-
-    def run_group(args):
-        seg, gvs, gve = args
+    def run_group(carry, b0):
+        """One step: blocks [b0, b0+bpg) of every batch row, stacked on the
+        batch axis. Blocks are cut with `dynamic_slice` here rather than a
+        pre-gathered overlapping-window tensor: an (nblocks, seg_bp) gather
+        index blows XLA's compile time up ~30x (306s -> 6s measured for the
+        32Mb tower) for identical runtime."""
+        segs = [
+            lax.dynamic_slice_in_dim(xp, (b0 + j) * block_bp, seg_bp, axis=1)
+            for j in range(bpg)
+        ]
+        seg = jnp.concatenate(segs, axis=0) if bpg > 1 else segs[0]
         seg = to_compute_dtype(seg, compute_dtype)
+        # Per-row valid bp range (sequence/validity bounds + tail padding).
+        seg_start = (b0 + jnp.arange(bpg)) * block_bp - halo_bp
+        gvs = jnp.repeat(jnp.clip(vs0 - seg_start, 0, seg_bp), n)
+        gve = jnp.repeat(jnp.clip(ve0 - seg_start, 0, seg_bp), n)
         if use_pallas:
             out = apply_encoder_stages_pallas(
                 params, seg, gvs, gve, interpret=cfg.interpret_pallas
             )
         else:
             out = apply_encoder_stages_masked(params, seg, gvs, gve)
-        return lax.slice_in_dim(out, halo_bins, halo_bins + block_bins, axis=1)
+        out = lax.slice_in_dim(out, halo_bins, halo_bins + block_bins, axis=1)
+        return carry, out
 
     if checkpoint_blocks:
         run_group = jax.checkpoint(run_group)
 
-    rows = nblocks * n
-    group = block_group or _default_block_group(block_bp, rows)
-    if group >= rows:
-        outs = run_group((xb, vs, ve))  # (rows, block_bins, C)
+    ngroups = nblocks // bpg
+    if ngroups == 1:
+        _, outs = run_group(None, jnp.int32(0))
+        outs = outs[None]
     else:
-        while rows % group:
-            group -= 1
-        xg = xb.reshape(rows // group, group, seg_bp, x.shape[2])
-        vg = vs.reshape(rows // group, group)
-        eg = ve.reshape(rows // group, group)
-        outs = lax.map(run_group, (xg, vg, eg))
-        outs = outs.reshape(rows, block_bins, -1)
+        _, outs = lax.scan(
+            run_group, None, jnp.arange(ngroups, dtype=jnp.int32) * bpg
+        )
 
-    # (nblocks*N, block_bins, C) -> (N, nblocks*block_bins, C), crop tail pad
-    outs = outs.reshape(nblocks, n, block_bins, -1)
-    outs = jnp.moveaxis(outs, 0, 1).reshape(n, nblocks * block_bins, -1)
+    # (ngroups, bpg*N, block_bins, C) -> (N, nblocks*block_bins, C), crop pad
+    outs = outs.reshape(ngroups, bpg, n, block_bins, -1)
+    outs = jnp.moveaxis(outs, 2, 0).reshape(n, nblocks * block_bins, -1)
     return outs[:, : length // BIN_BP, :]
 
 

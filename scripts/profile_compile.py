@@ -20,6 +20,10 @@ import numpy as np
 
 
 def timeit(name, fn, *args):
+    # NOTE: fn must not close over device arrays — embedding them as MLIR
+    # constants forces device->host fetches during lower() (and the first
+    # such fetch of a process pays the tunnel's ~60-730s data-plane setup,
+    # see bench.py channel_setup_s). Pass all arrays via *args.
     t0 = time.time()
     lowered = jax.jit(fn).lower(*args)
     t1 = time.time()
@@ -35,18 +39,24 @@ def main():
     from orca_tpu.predict.multiscale import GEOM_32M
 
     bundle = zoo.fold_bundle(zoo.random_32m_bundle(seed=0))
+    log_nm = jnp.asarray(bundle.log_normmats())
     bundle = jax.tree.map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
         bundle,
     )
-    log_nm = jnp.asarray(bundle.log_normmats())
     seq = jnp.zeros((1, 32_000_000, 4), jnp.int8)
     geom = GEOM_32M
 
+    # warm the tunnel's device->host channel so the first constant fetch /
+    # result fetch doesn't masquerade as trace or compile time
+    t0 = time.time()
+    np.asarray(jnp.zeros((1,), jnp.float32))
+    print(f"channel setup: {time.time()-t0:.1f}s", flush=True)
+
     timeit(
         "encode_32mb (blocked+pyramid)",
-        lambda s: ms._encode_32mb_jit(bundle, geom, s), seq,
+        lambda b, s: ms._encode_32mb_jit(b, geom, s), bundle, seq,
     )
 
     enc_crop = jnp.zeros((2, 250, 128), jnp.bfloat16)
@@ -57,24 +67,21 @@ def main():
 
     timeit(
         "decode level (no coarse)",
-        lambda e, *a: ms._decode_level_jit(
-            bundle.decoders[32], None, e, geom, bundle.upsample_mode, 1,
-            *a, None),
-        enc_crop, *args,
+        lambda d, e, *a: ms._decode_level_jit(
+            d, None, e, geom, bundle.upsample_mode, 1, *a, None),
+        bundle.decoders[32], enc_crop, *args,
     )
     timeit(
         "decode level (coarse)",
-        lambda e, c, *a: ms._decode_level_jit(
-            bundle.decoders[16], None, e, geom, bundle.upsample_mode, 1,
-            *a, c),
-        enc_crop, coarse, *args,
+        lambda d, e, c, *a: ms._decode_level_jit(
+            d, None, e, geom, bundle.upsample_mode, 1, *a, c),
+        bundle.decoders[16], enc_crop, coarse, *args,
     )
     timeit(
         "decode level (coarse+1pt)",
-        lambda e, c, *a: ms._decode_level_jit(
-            bundle.decoders[1], bundle.decoder_1pt, e, geom,
-            bundle.upsample_mode, 1, *a, c),
-        enc_crop, coarse, *args,
+        lambda d, d1, e, c, *a: ms._decode_level_jit(
+            d, d1, e, geom, bundle.upsample_mode, 1, *a, c),
+        bundle.decoders[1], bundle.decoder_1pt, enc_crop, coarse, *args,
     )
     timeit(
         "crop rows",
