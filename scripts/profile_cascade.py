@@ -19,15 +19,18 @@ bundle = jax.tree.map(
     lambda x: x.astype(jnp.bfloat16)
     if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, bundle)
 
-rng = np.random.RandomState(0)
-codes = rng.randint(0, 4, size=32_000_000)
-seq = jnp.asarray(np.eye(4, dtype=np.int8)[codes][None])
-
 # One-time tunnel data-plane setup (see bench.py channel_setup_s): warm it
-# so the first fetch below doesn't pollute a measurement.
+# before any bulk transfer so the first fetch doesn't pollute a measurement.
 _t0 = time.perf_counter()
 np.asarray(jnp.zeros((1,), jnp.float32))
 print(f"channel setup: {time.perf_counter()-_t0:.1f} s", flush=True)
+
+rng = np.random.RandomState(0)
+codes = rng.randint(0, 4, size=32_000_000)
+_t0 = time.perf_counter()
+seq = jnp.asarray((np.eye(4, dtype=np.uint8) * 4)[codes][None])
+seq.block_until_ready()
+print(f"seq H2D (128MB packed): {time.perf_counter()-_t0:.1f} s", flush=True)
 
 
 def _fetch(out):

@@ -147,3 +147,28 @@ def test_fold_bn_into_conv():
     wf, bf = nn_ops.fold_bn_into_conv(jnp.array(w), jnp.array(b), bn)
     folded = nn_ops.conv1d(jnp.array(x), wf, bf)
     np.testing.assert_allclose(np.asarray(folded), np.asarray(raw), atol=1e-4)
+
+
+def test_conv2d_bf16_matmul_path_matches_fp32_conv():
+    """The bf16 k=3 fast path (_conv2d_k3_matmul, 9 shifted MXU dots) must
+    agree with the fp32 lax conv to bf16 tolerance at every decoder
+    dilation (reference Decoder dilations 1..64, orca_modules.py:36-460)."""
+    import jax.numpy as jnp
+
+    for d in (1, 2, 64):
+        x = rng(2, 40, 40, 6)
+        w = rng(3, 3, 6, 5) * 0.2
+        b = rng(5)
+        ref = nn_ops.conv2d(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), dilation=d
+        )
+        fast = nn_ops.conv2d(
+            jnp.asarray(x, jnp.bfloat16),
+            jnp.asarray(w, jnp.bfloat16),
+            jnp.asarray(b, jnp.bfloat16),
+            dilation=d,
+        )
+        assert fast.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(fast, np.float32), np.asarray(ref), atol=0.15, rtol=0.1
+        )
