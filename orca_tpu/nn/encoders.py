@@ -369,30 +369,42 @@ def apply_encoder_tower(
     pad_tail = nblocks * block_bp - length + halo_bp
     xp = jnp.pad(x, ((0, 0), (halo_bp, pad_tail), (0, 0)))
 
-    # Blocks-per-scan-step: `block_group`/_default_block_group cap the
-    # in-flight extent in ROWS of sequence (nblocks*n total); convert to
-    # whole blocks so each step batches bpg blocks x n rows.
+    # Work-per-scan-step: `block_group`/_default_block_group cap the
+    # in-flight extent in ROWS of sequence (nblocks*n (block, batch-row)
+    # pairs total). Each step batches bpg blocks x rchunk batch rows; when
+    # the batch alone exceeds the cap (large-batch screening/training), the
+    # batch axis is chunked too so peak activation memory stays bounded.
     rows_cap = block_group or _default_block_group(block_bp, nblocks * n)
-    bpg = max(1, min(nblocks, rows_cap // max(n, 1) or 1))
+    if n > rows_cap:
+        rchunk = max(d for d in range(1, rows_cap + 1) if n % d == 0)
+    else:
+        rchunk = n
+    bpg = max(1, min(nblocks, rows_cap // rchunk or 1))
     while nblocks % bpg:
         bpg -= 1
+    nrgroups = n // rchunk
 
-    def run_group(carry, b0):
-        """One step: blocks [b0, b0+bpg) of every batch row, stacked on the
-        batch axis. Blocks are cut with `dynamic_slice` here rather than a
-        pre-gathered overlapping-window tensor: an (nblocks, seg_bp) gather
-        index blows XLA's compile time up ~30x (306s -> 6s measured for the
-        32Mb tower) for identical runtime."""
+    def run_group(carry, idx):
+        """One step: blocks [b0, b0+bpg) of batch rows [r0, r0+rchunk),
+        stacked on the batch axis. Blocks are cut with `dynamic_slice` here
+        rather than a pre-gathered overlapping-window tensor: an
+        (nblocks, seg_bp) gather index blows XLA's compile time up ~30x
+        (306s -> 6s measured for the 32Mb tower) for identical runtime."""
+        b0, r0 = idx
+        xr = (
+            lax.dynamic_slice_in_dim(xp, r0, rchunk, axis=0)
+            if rchunk < n else xp
+        )
         segs = [
-            lax.dynamic_slice_in_dim(xp, (b0 + j) * block_bp, seg_bp, axis=1)
+            lax.dynamic_slice_in_dim(xr, (b0 + j) * block_bp, seg_bp, axis=1)
             for j in range(bpg)
         ]
         seg = jnp.concatenate(segs, axis=0) if bpg > 1 else segs[0]
         seg = to_compute_dtype(seg, compute_dtype)
         # Per-row valid bp range (sequence/validity bounds + tail padding).
         seg_start = (b0 + jnp.arange(bpg)) * block_bp - halo_bp
-        gvs = jnp.repeat(jnp.clip(vs0 - seg_start, 0, seg_bp), n)
-        gve = jnp.repeat(jnp.clip(ve0 - seg_start, 0, seg_bp), n)
+        gvs = jnp.repeat(jnp.clip(vs0 - seg_start, 0, seg_bp), rchunk)
+        gve = jnp.repeat(jnp.clip(ve0 - seg_start, 0, seg_bp), rchunk)
         if use_pallas:
             out = apply_encoder_stages_pallas(
                 params, seg, gvs, gve, interpret=cfg.interpret_pallas
@@ -406,24 +418,32 @@ def apply_encoder_tower(
         run_group = jax.checkpoint(run_group)
 
     ngroups = nblocks // bpg
-    if ngroups == 1:
-        _, outs = run_group(None, jnp.int32(0))
+    if ngroups == 1 and nrgroups == 1:
+        _, outs = run_group(None, (jnp.int32(0), jnp.int32(0)))
         outs = outs[None]
     else:
-        _, outs = lax.scan(
-            run_group, None, jnp.arange(ngroups, dtype=jnp.int32) * bpg
+        # row-group major, block-group minor
+        b0s = jnp.tile(jnp.arange(ngroups, dtype=jnp.int32) * bpg, nrgroups)
+        r0s = jnp.repeat(
+            jnp.arange(nrgroups, dtype=jnp.int32) * rchunk, ngroups
         )
+        _, outs = lax.scan(run_group, None, (b0s, r0s))
 
-    # (ngroups, bpg*N, block_bins, C) -> (N, nblocks*block_bins, C), crop pad
-    outs = outs.reshape(ngroups, bpg, n, block_bins, -1)
-    outs = jnp.moveaxis(outs, 2, 0).reshape(n, nblocks * block_bins, -1)
+    # (nrgroups*ngroups, bpg*rchunk, block_bins, C)
+    #   -> (N, nblocks*block_bins, C), crop pad
+    outs = outs.reshape(nrgroups, ngroups, bpg, rchunk, block_bins, -1)
+    outs = jnp.transpose(outs, (0, 3, 1, 2, 4, 5)).reshape(
+        n, nblocks * block_bins, -1
+    )
     return outs[:, : length // BIN_BP, :]
 
 
 def _default_block_group(block_bp: int, rows: int) -> int:
-    """Blocks per batched group, capping total extent around 16Mb of
-    sequence (fits v5e-lite HBM: stage-1 activations ~2GB bf16 with a few
-    live buffers; 32Mb-at-once compiles to ~30GB and OOMs on 16GB chips)."""
+    """Cap, in rows of sequence in flight per scan step (each row is one
+    (block, batch-row) pair of extent block_bp), keeping total extent
+    around 16Mb of sequence (fits v5e-lite HBM: stage-1 activations ~2GB
+    bf16 with a few live buffers; 32Mb-at-once compiles to ~30GB and OOMs
+    on 16GB chips)."""
     cap = max(1, 16_000_000 // block_bp)
     return min(rows, cap)
 

@@ -97,7 +97,12 @@ def _conv2d_k3_matmul(x: jax.Array, w: jax.Array, b, dilation: int) -> jax.Array
             acc = t if acc is None else acc + t
     if b is not None:
         acc = acc + b.astype(jnp.float32)
-    return acc.astype(x.dtype)
+    # preserve standard promotion for mixed-dtype calls (bf16 x with f32
+    # w/b must produce f32, like the conv_general_dilated path)
+    out_dtype = (
+        jnp.result_type(x, w) if b is None else jnp.result_type(x, w, b)
+    )
+    return acc.astype(out_dtype)
 
 
 def conv2d(

@@ -62,6 +62,37 @@ def test_encoder_tower_blockwise_equals_monolithic():
     )
 
 
+def test_encoder_tower_blockwise_scan_and_row_chunking():
+    """Blockwise parity through the lax.scan path: ngroups>1 (block_group
+    forces multiple scan steps), batch rows exceeding the rows cap (batch
+    axis chunked inside the scan), a non-multiple-of-block length (partial
+    last block), and traced validity bounds."""
+    key = jax.random.PRNGKey(0)
+    params = encoders.init_encoder_tower(key)
+    L = 1_200_000  # 3 blocks of 400k; not a multiple of 2 blocks
+    x = jax.random.uniform(jax.random.PRNGKey(2), (4, L, 4))
+    mono = encoders.apply_encoder_tower(params, x)
+    # block_group=2 rows with n=4: rchunk=2, bpg=1 -> 6 scan steps
+    blocked = encoders.apply_encoder_tower(
+        params, x, block_bp=400_000, halo_bp=112_000, block_group=2
+    )
+    np.testing.assert_allclose(
+        np.asarray(blocked), np.asarray(mono), atol=2e-4
+    )
+    # validity bounds: zero outside [vs, ve) must match masked monolithic
+    vs, ve = 400_000, 800_000
+    bounded = encoders.apply_encoder_tower(
+        params, x, block_bp=400_000, halo_bp=112_000, block_group=2,
+        valid_start_bp=vs, valid_end_bp=ve,
+    )
+    mono_bounded = encoders.apply_encoder_tower(
+        params, x, valid_start_bp=vs, valid_end_bp=ve
+    )
+    np.testing.assert_allclose(
+        np.asarray(bounded), np.asarray(mono_bounded), atol=2e-4
+    )
+
+
 @pytest.mark.parametrize(
     "refcls,levels,up", [("Encoder2", 5, True), ("Encoder2b", 5, False),
                           ("Encoder3", 3, True)]
