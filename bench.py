@@ -2,12 +2,17 @@
 
 Runs the flagship pipeline — full zoom cascade (fwd + reverse-complement
 passes over a 32Mb window, 6 decoded levels) with an H1-ESC-architecture
-bundle — on the available accelerator and prints ONE JSON line.
+bundle — on the available accelerator and prints ONE JSON line. The
+headline is the bf16 serving config; an fp32 parity-mode measurement is
+included as secondary fields (both numbers in one artifact, per the
+BASELINE targets).
 
 Baseline context: the reference has no published inference benchmark
-(SURVEY.md §6); vs_baseline is computed against a reference-design A100
-estimate of ~2.0 Mb/s for the same cascade (fwd+RC, fp32 torch; see
-BASELINE.md targets: >=5x per-chip speedup over A100 means >=10 Mb/s).
+(SURVEY.md §6). vs_baseline divides by a reference-design A100 estimate of
+~2.0 Mb/s for the same cascade (fwd+RC, fp32 torch); the measured basis is
+BASELINE_TORCH.json (scripts/baseline_torch.py: the reference's own torch
+modules through the faithful zoom loop on this host's CPU), surfaced in
+the output so the multiple is auditable.
 """
 
 import json
@@ -21,13 +26,24 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-# bfloat16 is the production serving config (2.3x fp32 on v5e); set
-# ORCA_BENCH_DTYPE=float32 for the reference-parity precision mode.
+# bfloat16 is the production serving config (2.3x fp32 on v5e); the fp32
+# reference-parity mode is measured as secondary fields in the same run
+# (ORCA_BENCH_SKIP_FP32=1 disables it; ORCA_BENCH_DTYPE overrides the
+# headline dtype).
 DTYPE = os.environ.get("ORCA_BENCH_DTYPE", "bfloat16")
-A100_BASELINE_MB_PER_S = 2.0
+A100_BASELINE_MB_PER_S = 2.0  # design estimate; see BASELINE_TORCH.json
 
 
-def main():
+def _load_torch_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_TORCH.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def _measure(dtype: str, seq, mpos, wpos, iters: int):
     import jax
     import jax.numpy as jnp
 
@@ -35,13 +51,35 @@ def main():
     from orca_tpu.predict.multiscale import GEOM_32M, _cascade_32mb
 
     bundle = zoo.fold_bundle(zoo.random_32m_bundle(seed=0))
-    if DTYPE == "bfloat16":
+    if dtype == "bfloat16":
         bundle = jax.tree.map(
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
             bundle,
         )
     log_normmats = jnp.asarray(bundle.log_normmats())
+
+    def run():
+        preds, starts = _cascade_32mb(
+            bundle, GEOM_32M, seq, mpos, wpos, log_normmats
+        )
+        # Force a device->host fetch: on tunneled/remote backends
+        # block_until_ready alone may not cover execution completion.
+        return float(jnp.sum(preds[-1]))
+
+    t0 = time.time()
+    run()  # compile + warmup
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        run()
+    dt = (time.time() - t0) / iters
+    return dt, compile_s
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
     codes = rng.randint(0, 4, size=32_000_000)
@@ -53,14 +91,6 @@ def main():
     mpos = jnp.float32(16_000_000.0)
     wpos = jnp.float32(16_000_000.0)
 
-    def run():
-        preds, starts = _cascade_32mb(
-            bundle, GEOM_32M, seq, mpos, wpos, log_normmats
-        )
-        # Force a device->host fetch: on tunneled/remote backends
-        # block_until_ready alone may not cover execution completion.
-        return float(jnp.sum(preds[-1]))
-
     # One-time transfer-channel setup: on tunneled backends (axon) the
     # FIRST device->host fetch of a process pays the tunnel's data-plane
     # initialization (measured 60-730s on v5e-lite via axon; subsequent
@@ -70,29 +100,46 @@ def main():
     np.asarray(jnp.zeros((1,), jnp.float32))
     channel_setup_s = time.time() - t0
 
-    # compile + warmup
-    t0 = time.time()
-    run()
-    compile_s = time.time() - t0
-
     iters = int(os.environ.get("ORCA_BENCH_ITERS", "3"))
-    t0 = time.time()
-    for _ in range(iters):
-        run()
-    dt = (time.time() - t0) / iters
-
+    dt, compile_s = _measure(DTYPE, seq, mpos, wpos, iters)
     mb_per_s = 32.0 / dt
+
     result = {
         "metric": "Mb_sequence_per_s_per_chip_32Mb_multiscale",
         "value": round(mb_per_s, 3),
         "unit": "Mb/s/chip",
         "vs_baseline": round(mb_per_s / A100_BASELINE_MB_PER_S, 3),
+        "baseline_basis": "A100 design estimate 2.0 Mb/s (fp32 torch)",
         "seconds_per_32Mb_window": round(dt, 3),
         "compile_s": round(compile_s, 1),
         "channel_setup_s": round(channel_setup_s, 1),
         "device": str(jax.devices()[0]),
         "dtype": DTYPE,
     }
+
+    torch_baseline = _load_torch_baseline()
+    if torch_baseline:
+        result["torch_cpu_mb_per_s"] = torch_baseline["mb_per_s"]
+        result["vs_torch_cpu"] = round(
+            mb_per_s / torch_baseline["mb_per_s"], 1
+        )
+
+    # Standard 2-model (H1-ESC + HFF) region predict: measured sequential —
+    # the device is already saturated by one cascade (probe on v5e-lite:
+    # 2-model sequential = 2.01x one model; encoder batch-4 = 1.88x
+    # batch-2; vmapped 2-model decoders = 2.23x single — param-stacked
+    # batching LOSES; scripts/probe_two_model.py). This field is the
+    # number users of the default 2-model predict actually see.
+    result["two_model_mb_per_s"] = round(mb_per_s / 2.01, 3)
+
+    # fp32 reference-parity mode as secondary fields of the same artifact
+    if DTYPE != "float32" and not os.environ.get("ORCA_BENCH_SKIP_FP32"):
+        fp32_iters = max(1, iters - 1)
+        dt32, compile32 = _measure("float32", seq, mpos, wpos, fp32_iters)
+        result["fp32_mb_per_s"] = round(32.0 / dt32, 3)
+        result["fp32_seconds_per_window"] = round(dt32, 3)
+        result["fp32_compile_s"] = round(compile32, 1)
+
     print(json.dumps(result))
 
 

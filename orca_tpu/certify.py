@@ -148,6 +148,38 @@ def build_torch_32m(model_dir: str, name: str, reference_path: str):
     return net0, net, denets, denet_1pt
 
 
+def _cast_bundle(bundle, dtype: str):
+    """bf16 tolerance-report mode: cast the jax-side bundle to bfloat16 (the
+    production serving precision) while the torch oracle stays fp32, so the
+    reported max|Δ| measures the serving config's deviation."""
+    if dtype == "float32":
+        return bundle
+    import jax
+    import jax.numpy as jnp
+
+    target = jnp.dtype(dtype)
+    # jnp.asarray, not ndarray.astype: numpy ml_dtypes bfloat16 arrays
+    # follow NUMPY promotion (bf16 + python float -> f32), silently
+    # upcasting activations mid-network; jax arrays keep weak-type rules
+    return jax.tree.map(
+        lambda x: jnp.asarray(x, target)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        bundle,
+    )
+
+
+def _load_genome_or_raise(resource_dir: str):
+    from orca_tpu.predict.resources import _load_genome
+
+    genome = _load_genome(resource_dir, True,
+                          "Homo_sapiens.GRCh38.dna.primary_assembly")
+    if genome is None:
+        raise FileNotFoundError(
+            f"hg38 genome resources not found under {resource_dir}"
+        )
+    return genome
+
+
 def certify_32m(
     model_dir: str,
     resource_dir: str,
@@ -156,25 +188,21 @@ def certify_32m(
     windows: Optional[Sequence] = None,
     atol: float = 2e-3,
     geometry=None,
+    dtype: str = "float32",
 ) -> Dict:
     """Run both implementations from the same checkpoints on fixed hg38
     windows; returns {name: {window: {level: max_abs_diff}, 'pass': bool}}.
     `geometry` defaults to the production 32Mb cascade; scaled geometries
-    support fast self-tests of the certification flow.
+    support fast self-tests of the certification flow. dtype='bfloat16'
+    reports the serving-precision deviation vs the fp32 torch oracle.
     """
     import jax.numpy as jnp
 
     from orca_tpu.models import zoo
     from orca_tpu.predict.multiscale import GEOM_32M, _cascade_32mb
-    from orca_tpu.predict.resources import _load_genome
 
     geom = geometry or GEOM_32M
-    genome = _load_genome(resource_dir, True,
-                          "Homo_sapiens.GRCh38.dna.primary_assembly")
-    if genome is None:
-        raise FileNotFoundError(
-            f"hg38 genome resources not found under {resource_dir}"
-        )
+    genome = _load_genome_or_raise(resource_dir)
     # reference README example region + one off-center zoom
     windows = windows or [
         ("chr9", 110_404_000, 94_904_000),   # (chrom, mpos, wpos)
@@ -185,6 +213,7 @@ def certify_32m(
     for name in names:
         bundle = zoo.load_32m_bundle(model_dir, resource_dir, name,
                                      nbins=geom.bins, crop=geom.crop)
+        bundle = _cast_bundle(bundle, dtype)
         torch_modules = build_torch_32m(model_dir, name, reference_path)
         per_window = {}
         for chrom, mpos, wpos in windows:
@@ -210,5 +239,284 @@ def certify_32m(
             per_window[f"{chrom}:{mpos}"] = diffs
         report[name] = per_window
     report["atol"] = atol
+    report["dtype"] = dtype
     report["pass"] = ok
     return report
+
+
+# --------------------------------------------------------------------------
+# 1Mb model certification (BASELINE row 1)
+# --------------------------------------------------------------------------
+
+
+def build_torch_1m(model_dir: str, name: str, reference_path: str):
+    """Reference Net(num_1d) loaded from the stage-a statedict the way
+    orca_models.py:449-542 does."""
+    import torch
+
+    if reference_path not in sys.path:
+        sys.path.insert(0, reference_path)
+    import orca_modules as ref
+
+    num_1d = {"h1esc": 32, "hff": 22}[name]
+    sd = torch.load(os.path.join(model_dir, f"orca_{name}.net0.statedict"),
+                    map_location="cpu")
+    return _load_filtered(ref.Net(num_1d=num_1d), sd), num_1d
+
+
+def certify_1m(
+    model_dir: str,
+    resource_dir: str,
+    reference_path: str,
+    names: Sequence[str] = ("h1esc", "hff"),
+    windows: Optional[Sequence] = None,
+    atol: float = 2e-3,
+    seq_len: int = 1_000_000,
+    dtype: str = "float32",
+) -> Dict:
+    """1Mb Net forward parity (2D map + 1D track head) vs the reference
+    Net from the same checkpoint (orca_models.py:449-542). `seq_len`
+    overrides the window for scaled self-tests."""
+    import jax.numpy as jnp
+    import torch
+
+    from orca_tpu.models import zoo
+    from orca_tpu.nn import decoders
+
+    genome = _load_genome_or_raise(resource_dir)
+    windows = windows or [
+        ("chr9", 110_404_000),
+        ("chr8", 64_000_000),
+    ]
+    report = {}
+    ok = True
+    for name in names:
+        bundle = _cast_bundle(
+            zoo.load_1m_bundle(model_dir, resource_dir, name), dtype
+        )
+        net, num_1d = build_torch_1m(model_dir, name, reference_path)
+        per_window = {}
+        for chrom, mpos in windows:
+            seq = genome.get_encoding_from_coords(
+                chrom, mpos - seq_len // 2, mpos + seq_len // 2
+            )[None].astype(np.float32)
+            got = decoders.apply_net(
+                bundle.net, jnp.asarray(seq), num_1d=num_1d
+            )
+            got2d, got1d = got
+            with torch.no_grad():
+                want2d, want1d = net(
+                    torch.FloatTensor(seq).transpose(1, 2)
+                )
+            d2 = float(np.max(np.abs(
+                np.asarray(got2d[0, :, :, 0], np.float32)
+                - want2d.numpy()[0, 0]
+            )))
+            d1 = float(np.max(np.abs(
+                np.asarray(got1d[0], np.float32) - want1d.numpy()[0].T
+            )))
+            ok = ok and d2 <= atol and d1 <= atol
+            per_window[f"{chrom}:{mpos}"] = {"2d": d2, "1d": d1}
+        report[name] = per_window
+    report["atol"] = atol
+    report["dtype"] = dtype
+    report["pass"] = ok
+    return report
+
+
+# --------------------------------------------------------------------------
+# 256Mb cascade certification (BASELINE row 3)
+# --------------------------------------------------------------------------
+
+
+def torch_cascade_256m(modules, seq_np: np.ndarray, normmat: np.ndarray,
+                       chrlen: float, mpos: int, wpos: int, geom):
+    """Reference genomepredict_256Mb zoom loop (orca_predict.py:661-845)
+    over torch modules: per-region normmat block-averaging, RC distenc
+    flip, chromosome-bound zoom clamping, RC start-index mirror.
+
+    modules: (net0, net1, net3, {level: decoder}). Returns
+    ([4 fwd/RC-averaged (crop, crop) maps, coarsest first], starts).
+    """
+    import torch
+
+    net0, net1, net3, denets = modules
+    crop, half = geom.crop, geom.half
+    nm = normmat.copy()
+    mask = np.isnan(nm)
+    if mask.any():
+        nm[mask] = np.nanmin(nm[~mask])
+    allpreds = []
+    allstarts = []
+    with torch.no_grad():
+        for iii, seq in enumerate(
+            [seq_np, np.ascontiguousarray(seq_np[:, ::-1, ::-1])]
+        ):
+            x = torch.FloatTensor(seq).transpose(1, 2)
+            encodings = dict(
+                zip((32, 64, 128, 256), net3(net1(net0(x))[-1]))
+            )
+            preds = []
+            starts = [0]
+            for j, level in enumerate((256, 128, 64, 32)):
+                factor = geom.bins // (crop * 2**j)
+                n = crop * factor
+                s = starts[j]
+                nr = (
+                    nm[s : s + n, s : s + n]
+                    .reshape(crop, factor, crop, factor)
+                    .mean(axis=(1, 3))
+                )
+                distenc = torch.log(torch.FloatTensor(nr[None, None]))
+                if iii != 0:
+                    distenc = torch.flip(distenc, [2, 3])
+                enc = encodings[level][
+                    :, :, s // factor : s // factor + crop
+                ]
+                if j == 0:
+                    pred = denets[level](enc, distenc)
+                else:
+                    coarse = preds[j - 1][
+                        :, :, start_index : start_index + half,
+                        start_index : start_index + half,
+                    ]
+                    pred = denets[level](enc, distenc, coarse)
+                span = geom.span_bp(factor)
+                halfwin = geom.window_bp / 2
+                if iii == 0:
+                    proposed = (mpos - span / 4) - (
+                        wpos - halfwin + s * geom.bin_bp
+                    )
+                else:
+                    proposed = (mpos - span / 4) - (
+                        wpos + halfwin - s * geom.bin_bp - span
+                    )
+                b0 = 0 - (wpos - halfwin)
+                b1 = chrlen - span / 2 - (wpos - halfwin)
+                proposed = np.clip(proposed, b0, b1) if b0 < b1 else b0
+                start_index = int(np.clip(
+                    np.floor(proposed / (geom.bin_bp * factor)), 0, half
+                ))
+                if iii != 0:
+                    start_index = crop - (start_index + half)
+                starts.append(s + start_index * factor)
+                preds.append(pred)
+            allpreds.append(preds)
+            if iii == 0:
+                allstarts = starts[:-1]
+    outs = [
+        allpreds[0][j].numpy()[0, 0] * 0.5
+        + allpreds[1][j].numpy()[0, 0, ::-1, ::-1] * 0.5
+        for j in range(4)
+    ]
+    return outs, allstarts
+
+
+def build_torch_256m(model_dir: str, name: str, reference_path: str):
+    """Reference 256Mb model stack from the released statedicts: Encoder3 +
+    decoders from orca_{name}_256m.*, Encoder/Encoder2 reused from the
+    32Mb model's files (orca_models.py:545-760, :620-626)."""
+    import torch
+
+    if reference_path not in sys.path:
+        sys.path.insert(0, reference_path)
+    import orca_modules as ref
+
+    def load_sd(fname):
+        return torch.load(os.path.join(model_dir, fname),
+                          map_location="cpu")
+
+    net0 = _load_filtered(ref.Encoder(), load_sd(f"orca_{name}.net0.statedict"))
+    net1 = _load_filtered(ref.Encoder2(), load_sd(f"orca_{name}.net.statedict"))
+    net3 = _load_filtered(
+        ref.Encoder3(), load_sd(f"orca_{name}_256m.net.statedict")
+    )
+    denets = {}
+    for level in (32, 64, 128, 256):
+        denets[level] = _load_filtered(
+            ref.Decoder(upsample_mode="bilinear"),
+            load_sd(f"orca_{name}_256m.d{level}.statedict"),
+        )
+    return net0, net1, net3, denets
+
+
+def certify_256m(
+    model_dir: str,
+    resource_dir: str,
+    reference_path: str,
+    names: Sequence[str] = ("h1esc", "hff"),
+    windows: Optional[Sequence] = None,
+    atol: float = 2e-3,
+    geometry=None,
+    dtype: str = "float32",
+) -> Dict:
+    """256Mb cascade parity: whole-chromosome + padding-chromosome input
+    with per-region backgrounds assembled from the cis/trans expectations,
+    both sides from the same checkpoints.
+
+    windows: [(chrom, padding_chrom, mpos)]; default is the BASELINE row-3
+    configuration (chr8 whole-chromosome, chr9 padding).
+    """
+    import jax.numpy as jnp
+
+    from orca_tpu.models import zoo
+    from orca_tpu.predict import retrieval
+    from orca_tpu.predict.multiscale import GEOM_256M, _cascade_256mb
+
+    geom = geometry or GEOM_256M
+    genome = _load_genome_or_raise(resource_dir)
+    windows = windows or [("chr8", "chr9", 64_000_000)]
+    report = {}
+    ok = True
+    for name in names:
+        bundle = _cast_bundle(
+            zoo.load_256m_bundle(model_dir, resource_dir, name), dtype
+        )
+        torch_modules = build_torch_256m(model_dir, name, reference_path)
+        per_window = {}
+        for chrom, padding_chr, mpos in windows:
+            chrlen = genome.chr_len(chrom)
+            chrlen_round = chrlen - chrlen % geom.bin_bp
+            regions = [
+                [chrom, 0, chrlen_round, "+"],
+                [padding_chr, 0, geom.window_bp - chrlen_round, "+"],
+            ]
+            seq = retrieval.encode_regions(regions, genome)  # (1, L, 4)
+            normmat = retrieval.assemble_normmat(
+                regions, bundle.background_cis, bundle.background_trans,
+                binsize=geom.bin_bp,
+            ).astype(np.float32)
+            wpos = geom.window_bp // 2
+            nm_filled = normmat.copy()
+            mask = np.isnan(nm_filled)
+            if mask.any():
+                nm_filled[mask] = np.nanmin(nm_filled[~mask])
+            got, got_starts, _ = _cascade_256mb(
+                bundle, geom, jnp.asarray(seq), jnp.float32(mpos),
+                jnp.float32(wpos), jnp.float32(chrlen_round),
+                jnp.asarray(nm_filled),
+            )
+            want, want_starts = torch_cascade_256m(
+                torch_modules, seq, normmat, chrlen_round, mpos, wpos, geom,
+            )
+            diffs = {}
+            for j, level in enumerate((256, 128, 64, 32)):
+                d = float(np.max(np.abs(
+                    np.asarray(got[j][0], np.float32) - want[j]
+                )))
+                diffs[level] = d
+                ok = ok and d <= atol
+            ok = ok and list(np.asarray(got_starts)) == list(want_starts)
+            per_window[f"{chrom}:{mpos}"] = diffs
+        report[name] = per_window
+    report["atol"] = atol
+    report["dtype"] = dtype
+    report["pass"] = ok
+    return report
+
+
+CERTIFY_FAMILIES = {
+    "32m": certify_32m,
+    "1m": certify_1m,
+    "256m": certify_256m,
+}

@@ -32,17 +32,47 @@ def _reseed(sampler, worker_id: int, seed: int) -> None:
         sampler.rng = np.random.default_rng(seed + 7919 * (worker_id + 1))
 
 
+class WorkerError(Exception):
+    """A sampler worker died; carries the worker's formatted traceback."""
+
+    def __init__(self, worker_id: int, tb: str):
+        super().__init__(
+            f"PrefetchLoader worker {worker_id} died:\n{tb}"
+        )
+        self.worker_id = worker_id
+        self.tb = tb
+
+
+class _ErrorSentinel:
+    """Queue marker for a worker exception (picklable across processes)."""
+
+    def __init__(self, worker_id: int, tb: str):
+        self.worker_id = worker_id
+        self.tb = tb
+
+
 def _worker_loop(sampler, batch_size, mode, out_queue, stop_event,
                  worker_id, seed):
     _reseed(sampler, worker_id, seed)
-    while not stop_event.is_set():
-        batch = sampler.sample(batch_size, mode=mode)
+    try:
         while not stop_event.is_set():
-            try:
-                out_queue.put(batch, timeout=0.25)
-                break
-            except queue_mod.Full:
-                continue
+            batch = sampler.sample(batch_size, mode=mode)
+            while not stop_event.is_set():
+                try:
+                    out_queue.put(batch, timeout=0.25)
+                    break
+                except queue_mod.Full:
+                    continue
+    except Exception:  # noqa: BLE001 — any sampler error must surface
+        import traceback
+
+        # error sentinel: the consumer raises instead of hanging forever
+        # on a dead worker pool (a cooler I/O hiccup days into a run)
+        tb = traceback.format_exc()
+        try:
+            out_queue.put(_ErrorSentinel(worker_id, tb), timeout=5.0)
+        except queue_mod.Full:
+            pass
 
 
 class PrefetchLoader:
@@ -92,28 +122,71 @@ class PrefetchLoader:
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
+    def _live_workers(self) -> int:
+        return sum(1 for w in self._workers if w.is_alive())
+
     def get(self, timeout: Optional[float] = None):
-        return self._queue.get(timeout=timeout)
+        """Next ready batch. Raises WorkerError if a worker died with an
+        exception, RuntimeError if the whole pool is dead (no batch can
+        ever arrive) or `timeout` elapses."""
+        waited = 0.0
+        poll = 1.0
+        while True:
+            step = poll if timeout is None else min(poll, timeout - waited)
+            try:
+                item = self._queue.get(timeout=max(step, 0.01))
+            except queue_mod.Empty:
+                waited += step
+                if self._live_workers() == 0 and self._queue.empty():
+                    raise RuntimeError(
+                        "all PrefetchLoader workers are dead and the queue "
+                        "is empty (a process-backend worker killed without "
+                        "a traceback, e.g. OOM?)"
+                    ) from None
+                if timeout is not None and waited >= timeout:
+                    raise TimeoutError(
+                        f"no batch within {timeout}s "
+                        f"({self._live_workers()} live workers)"
+                    ) from None
+                continue
+            if isinstance(item, _ErrorSentinel):
+                raise WorkerError(item.worker_id, item.tb)
+            return item
 
     def __iter__(self):
         while True:
             yield self.get()
 
     def close(self) -> None:
+        import time
+
         self._stop.set()
+        # Drain WHILE workers are alive: a worker whose queue-feeder thread
+        # is blocked writing a large batch into the (64KB) pipe cannot exit
+        # until the parent reads it; and a worker terminated mid-write
+        # leaves a truncated frame on which any later parent read blocks
+        # forever (mp get_nowait is only no-wait for poll(), not for
+        # recv_bytes of a partial message). So: consume until the pool
+        # exits on its own, then terminate stragglers and NEVER read again.
+        deadline = time.time() + 10.0
+        while (time.time() < deadline
+               and any(w.is_alive() for w in self._workers)):
+            try:
+                self._queue.get(timeout=0.1)
+            except queue_mod.Empty:
+                pass
         for w in self._workers:
-            if isinstance(w, threading.Thread):
-                w.join(timeout=2.0)
-            else:
-                w.join(timeout=2.0)
-                if w.is_alive():
-                    w.terminate()
-        # drain so producer puts never deadlock on a full queue
-        try:
-            while True:
-                self._queue.get_nowait()
-        except queue_mod.Empty:
-            pass
+            w.join(timeout=1.0)
+            if not isinstance(w, threading.Thread) and w.is_alive():
+                w.terminate()
+        if self.backend == "process":
+            self._queue.close()
+        else:
+            try:
+                while True:
+                    self._queue.get_nowait()
+            except queue_mod.Empty:
+                pass
 
     def __enter__(self):
         return self

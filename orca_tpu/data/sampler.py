@@ -57,6 +57,7 @@ class RandomWindowSampler:
         cross_chromosome: bool = True,
         permute_segments: bool = False,
         mode: str = "train",
+        packed_sequence: bool = False,
     ):
         self.genome = genome
         self.target = target
@@ -80,6 +81,10 @@ class RandomWindowSampler:
         self.cross_chromosome = cross_chromosome
         self.permute_segments = permute_segments
         self.mode = mode
+        # packed quarter-scale uint8 sequences: a 32Mb stage-b window ships
+        # 32MB through the worker queue instead of 512MB (float32); the
+        # training steps expand on device via nn.encoders.to_compute_dtype
+        self.packed_sequence = packed_sequence
         self.rng = np.random.default_rng(seed)
 
         chr_lens = genome.get_chr_lens()
@@ -148,7 +153,8 @@ class RandomWindowSampler:
 
     def _retrieve(self, segments: List[SegmentCoord]):
         L = self.sequence_length
-        seq = np.zeros((L, 4), dtype=np.float32)
+        seq_dtype = np.uint8 if self.packed_sequence else np.float32
+        seq = np.zeros((L, 4), dtype=seq_dtype)
         offset = 0
         for s in segments:
             r = (
@@ -156,9 +162,14 @@ class RandomWindowSampler:
                 if self.random_shift > 0
                 else 0
             )
-            enc = self.genome.get_encoding_from_coords(
-                s.chrom, s.start + r, s.end + r, s.strand
-            )
+            if self.packed_sequence:
+                enc = self.genome.get_packed_encoding_from_coords(
+                    s.chrom, s.start + r, s.end + r, s.strand
+                )
+            else:
+                enc = self.genome.get_encoding_from_coords(
+                    s.chrom, s.start + r, s.end + r, s.strand
+                )
             seq[offset : offset + len(enc)] = enc
             offset += len(enc)
 
@@ -194,9 +205,11 @@ class RandomWindowSampler:
                     if self.bg:
                         bg = np.flip(bg, -1)
                 nx, ny = t.shape[-2], t.shape[-1]
-                target[ox : ox + nx, oy : oy + ny] = t
+                # ellipsis: multi-head targets carry a leading dataset axis
+                # (StackedContactMatrix, orca_leukemia-style training)
+                target[..., ox : ox + nx, oy : oy + ny] = t
                 if self.bg:
-                    normmat[ox : ox + nx, oy : oy + ny] = bg
+                    normmat[..., ox : ox + nx, oy : oy + ny] = bg
                 oy += ny
             ox += nx
 

@@ -122,6 +122,31 @@ class DenseContactMatrix:
         return out
 
 
+class StackedContactMatrix:
+    """Multi-dataset 2D target: stacks several contact-matrix sources along
+    a leading axis -> (num_datasets, n1, n2). The data path for training
+    multi-cell-type (leukemia-style) heads: each dataset feeds one of the
+    model's num_2d output channels (orca_leukemia.py:1604-1873)."""
+
+    def __init__(self, sources: Sequence):
+        if not sources:
+            raise ValueError("need at least one contact-matrix source")
+        self.sources = list(sources)
+
+    @property
+    def shape(self):
+        s = self.sources[0].shape
+        return (len(self.sources),) + tuple(s[-2:])
+
+    def get_feature_data(self, chrom, start, end, chrom2=None, start2=None,
+                         end2=None):
+        return np.stack([
+            s.get_feature_data(chrom, start, end, chrom2=chrom2,
+                               start2=start2, end2=end2)
+            for s in self.sources
+        ])
+
+
 class BinnedBedFeatures:
     """Binned 1D feature targets from a BED file (or in-memory intervals).
 

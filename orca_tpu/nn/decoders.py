@@ -334,7 +334,19 @@ def apply_net(
     With remat=True the encoder and 2D stack are wrapped in jax.checkpoint,
     mirroring the reference's 4-segment torch checkpointing
     (orca_modules.py:1862-1895) via XLA rematerialization.
+
+    x may be packed quarter-scale uint8 one-hot (the input pipeline's wire
+    format, nn.encoders.to_compute_dtype) — expanded on device here.
     """
+    param_dtype = params["encoder"]["lconv"][0][0]["w"].dtype
+    if x.dtype == jnp.uint8:
+        compute = (
+            param_dtype if param_dtype == jnp.bfloat16 else jnp.float32
+        )
+        x = encoders.to_compute_dtype(x, compute)
+    elif param_dtype == jnp.bfloat16 and x.dtype == jnp.float32:
+        # bf16 serving: follow the parameter dtype (fast MXU path)
+        x = x.astype(jnp.bfloat16)
     kw = dict(train=train, rng=rng)
 
     # BN running-stat updates are returned as explicit outputs of the

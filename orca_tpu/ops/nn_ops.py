@@ -183,7 +183,11 @@ def batchnorm_train(
     """
     axes = tuple(range(x.ndim - 1))
     mean = jnp.mean(x, axis=axes)
-    var = jnp.mean(jnp.square(x), axis=axes) - jnp.square(mean)
+    # two-pass variance: E[(x-mean)^2], not E[x^2]-E[x]^2 — the latter
+    # cancels catastrophically for activations with |mean| >> std, which
+    # makes train-mode outputs visibly depend on reduction order (sharded
+    # vs single-device differed by ~1e-1 through stacked BN layers)
+    var = jnp.mean(jnp.square(x - mean), axis=axes)
     n = x.size // x.shape[-1]
     var_unbiased = var * (n / max(n - 1, 1))
     inv = lax.rsqrt(var + eps) * scale

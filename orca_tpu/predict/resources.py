@@ -74,6 +74,23 @@ def load_resources(models=("32M",), model_dir: Optional[str] = None,
             out_models[f"{name}_256m"] = zoo.load_256m_bundle(
                 model_dir, resource_dir, name
             )
+    if "leukemia" in wanted:
+        # multi-cell-type leukemia bundles (orca_leukemia.py:1604-1873):
+        # A = 2 heads, B = 6 heads; load whichever statedicts are present
+        found = False
+        for name in ("leukemiaA", "leukemiaB"):
+            if os.path.exists(
+                os.path.join(model_dir, f"orca_{name}.net.statedict")
+            ):
+                out_models[name] = zoo.load_leukemia_bundle(
+                    model_dir, resource_dir, name
+                )
+                found = True
+        if not found:
+            raise FileNotFoundError(
+                f"leukemia models requested but no orca_leukemia*.net"
+                f".statedict found in {model_dir}"
+            )
 
     genome = _load_genome(
         resource_dir, use_memmapgenome,

@@ -90,6 +90,21 @@ def restore_state(workdir: str, template: dict) -> Optional[dict]:
         return ckptr.restore(path, template)
 
 
+def _mesh_encoder_fn(mesh, block_bp):
+    """Encoder override for a mesh with a non-trivial 'seq' axis: the
+    frozen bp tower runs sequence-sharded with ppermute halo exchange
+    (its activations are >=95% of the cascade FLOPs). Returns None (use
+    the default single-device tower) otherwise."""
+    if mesh is None or "seq" not in mesh.axis_names or mesh.shape["seq"] <= 1:
+        return None
+    from orca_tpu.parallel.sequence import sharded_encoder_tower
+
+    def encoder_fn(p, s):
+        return sharded_encoder_tower(p, s, mesh, block_bp=block_bp)
+
+    return encoder_fn
+
+
 class StageATrainer:
     """1Mb-model training (reference train_h1esc_a.py)."""
 
@@ -108,7 +123,9 @@ class StageATrainer:
         self.eps = float(eps)
         self.opt, self.step_fn = make_stage_a_step(cfg)
         key = jax.random.PRNGKey(loop.seed)
-        self.params = params or decoders.init_net(key, num_1d=cfg.num_1d)
+        self.params = params or decoders.init_net(
+            key, num_1d=cfg.num_1d, num_2d=getattr(cfg, "num_2d", 1)
+        )
         self.opt_state = self.opt.init(self.params)
         self.swa_state = (
             swa_lib.swa_init(self.params) if loop.use_swa else None
@@ -242,24 +259,53 @@ class StageBTrainer:
     def __init__(self, cfg: StageBConfig, loop: LoopConfig, sampler,
                  trainable: dict, frozen: dict, normmats: np.ndarray,
                  epss: np.ndarray, nan_skip: float = 0.5,
-                 accumulate: int = 4):
+                 accumulate: int = 4, mesh=None):
+        """mesh: optional jax Mesh — batches are placed data-parallel over
+        its 'data' axis (multi-host safe via multihost.shard_batch), and
+        when the mesh has a 'seq' axis of size > 1 the frozen bp encoder
+        runs sequence-sharded with ppermute halo exchange
+        (parallel.sequence.sharded_encoder_tower). The reference trains
+        every stage on 4 GPUs via DataParallel (train_h1esc_b.py:170-187);
+        here both batch and sequence axes scale across the mesh."""
         self.cfg = cfg
         self.loop = loop
         self.sampler = sampler
         self.trainable = trainable
         self.frozen = frozen
+        self.mesh = mesh
         self.normmats = jnp.asarray(normmats, jnp.float32)
         self.epss = jnp.asarray(epss, jnp.float32)
         self.nan_skip = nan_skip
         self.accumulate = accumulate
-        self.opt, self.step_fn = make_stage_b_step(cfg)
-        self.eval_fn = make_stage_b_eval(cfg)
+        encoder_fn = _mesh_encoder_fn(mesh, cfg.encoder_block_bp)
+        self.opt, self.step_fn = make_stage_b_step(cfg, encoder_fn=encoder_fn)
+        self.eval_fn = make_stage_b_eval(cfg, encoder_fn=encoder_fn)
         self.opt_state = self.opt.init(trainable)
         self.scheduler = optim.ReduceLROnPlateau(lr=loop.lr)
         self.step = 0
         self.logger = MetricsLogger(loop.workdir, "stage_b")
         self.rng = jax.random.PRNGKey(loop.seed)
         self._loader = None
+        if mesh is not None:
+            self._replicate_state()
+
+    def _replicate_state(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        self.trainable = jax.device_put(self.trainable, repl)
+        self.frozen = jax.device_put(self.frozen, repl)
+        self.opt_state = jax.device_put(self.opt_state, repl)
+
+    def _place(self, *arrays):
+        """Batch placement: data-parallel over the mesh when configured
+        (multi-host safe), plain asarray otherwise."""
+        if self.mesh is None:
+            out = tuple(jnp.asarray(a) for a in arrays)
+            return out if len(out) > 1 else out[0]
+        from orca_tpu.parallel.multihost import shard_batch
+
+        return shard_batch(self.mesh, *arrays)
 
     def _sample(self, mode: str):
         """One sampler draw; training draws come from the prefetch workers
@@ -328,9 +374,10 @@ class StageBTrainer:
         level_mses = {lv: [] for lv in self.cfg.levels}
         for _ in range(self.loop.val_batches):
             seq, target = self._accumulate_batch(mode="validate")
+            seq_d, target_d = self._place(seq, target)
             mses, corrs = self.eval_fn(
-                self.trainable, self.frozen, jnp.asarray(seq),
-                jnp.asarray(target), self.normmats, self.epss,
+                self.trainable, self.frozen, seq_d, target_d,
+                self.normmats, self.epss,
             )
             for lv in self.cfg.levels:
                 level_corrs[lv].append(np.asarray(corrs[lv]))
@@ -348,14 +395,21 @@ class StageBTrainer:
         return corr
 
     def run(self, max_steps: Optional[int] = None):
+        try:
+            return self._run(max_steps)
+        finally:
+            self.close()
+
+    def _run(self, max_steps: Optional[int] = None):
         max_steps = max_steps or self.loop.max_steps
         metrics = {}
         while max_steps is None or self.step < max_steps:
             seq, target = self._accumulate_batch()
             self.rng, sub = jax.random.split(self.rng)
+            seq_d, target_d = self._place(seq, target)
             self.trainable, self.opt_state, metrics = self.step_fn(
                 self.trainable, self.frozen, self.opt_state,
-                jnp.asarray(seq), jnp.asarray(target), sub,
+                seq_d, target_d, sub,
                 jnp.float32(self.scheduler.lr), self.normmats, self.epss,
             )
             self.step += 1
@@ -374,22 +428,29 @@ class StageCTrainer(StageBTrainer):
 
     def __init__(self, cfg: StageCConfig, loop: LoopConfig, sampler,
                  trainable: dict, frozen: dict, nan_skip: float = 0.5,
-                 accumulate: int = 1):
+                 accumulate: int = 1, mesh=None):
+        """mesh: see StageBTrainer — dp batch placement over 'data', plus a
+        sequence-sharded frozen encoder when 'seq' > 1 (the 256Mb windows
+        are where sequence sharding matters most)."""
         self.cfg = cfg
         self.loop = loop
         self.sampler = sampler
         self.trainable = trainable
         self.frozen = frozen
+        self.mesh = mesh
         self.nan_skip = nan_skip
         self.accumulate = accumulate
-        self.opt, self.step_fn = make_stage_c_step(cfg)
-        self.eval_fn = make_stage_c_eval(cfg)
+        encoder_fn = _mesh_encoder_fn(mesh, cfg.encoder_block_bp)
+        self.opt, self.step_fn = make_stage_c_step(cfg, encoder_fn=encoder_fn)
+        self.eval_fn = make_stage_c_eval(cfg, encoder_fn=encoder_fn)
         self.opt_state = self.opt.init(trainable)
         self.scheduler = optim.ReduceLROnPlateau(lr=loop.lr)
         self.step = 0
         self.logger = MetricsLogger(loop.workdir, "stage_c")
         self.rng = jax.random.PRNGKey(loop.seed)
         self._loader = None
+        if mesh is not None:
+            self._replicate_state()
 
     def _accumulate_batch(self, mode: str = "train"):
         seqs, targets, normmats = [], [], []
@@ -413,9 +474,9 @@ class StageCTrainer(StageBTrainer):
         level_mses = {lv: [] for lv in self.cfg.levels}
         for _ in range(self.loop.val_batches):
             seq, target, normmat = self._accumulate_batch(mode="validate")
+            seq_d, target_d, normmat_d = self._place(seq, target, normmat)
             mses, corrs = self.eval_fn(
-                self.trainable, self.frozen, jnp.asarray(seq),
-                jnp.asarray(target), jnp.asarray(normmat),
+                self.trainable, self.frozen, seq_d, target_d, normmat_d,
             )
             for lv in self.cfg.levels:
                 level_corrs[lv].append(np.asarray(corrs[lv]))
@@ -432,15 +493,16 @@ class StageCTrainer(StageBTrainer):
         self.logger.log(self.step, val_pearson=corr, **metrics)
         return corr
 
-    def run(self, max_steps: Optional[int] = None):
+    def _run(self, max_steps: Optional[int] = None):
         max_steps = max_steps or self.loop.max_steps
         metrics = {}
         while max_steps is None or self.step < max_steps:
             seq, target, normmat = self._accumulate_batch()
             self.rng, sub = jax.random.split(self.rng)
+            seq_d, target_d, normmat_d = self._place(seq, target, normmat)
             self.trainable, self.opt_state, metrics = self.step_fn(
                 self.trainable, self.frozen, self.opt_state,
-                jnp.asarray(seq), jnp.asarray(target), jnp.asarray(normmat),
+                seq_d, target_d, normmat_d,
                 sub, jnp.float32(self.scheduler.lr),
             )
             self.step += 1

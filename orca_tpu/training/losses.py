@@ -16,12 +16,13 @@ import jax.numpy as jnp
 
 
 def downsample_nanmean(target: jax.Array, crop: int, factor: int) -> jax.Array:
-    """(N, crop*factor, crop*factor) -> (N, crop, crop) NaN-aware block mean."""
-    n = target.shape[0]
-    r = target.reshape(n, crop, factor, crop, factor)
+    """(..., crop*factor, crop*factor) -> (..., crop, crop) NaN-aware block
+    mean. Leading axes (batch, multi-head datasets) pass through."""
+    lead = target.shape[:-2]
+    r = target.reshape(*lead, crop, factor, crop, factor)
     valid = jnp.isfinite(r)
-    s = jnp.sum(jnp.where(valid, r, 0.0), axis=(2, 4))
-    c = jnp.sum(valid, axis=(2, 4))
+    s = jnp.sum(jnp.where(valid, r, 0.0), axis=(-3, -1))
+    c = jnp.sum(valid, axis=(-3, -1))
     return jnp.where(c > 0, s / jnp.maximum(c, 1), jnp.nan)
 
 

@@ -38,6 +38,7 @@ from orca_tpu.training import losses, optim
 @dataclasses.dataclass(frozen=True)
 class StageAConfig:
     num_1d: Optional[int] = 32
+    num_2d: int = 1  # output heads (multi-cell-type leukemia variants > 1)
     crop: int = 250  # output map bins
     target_factor: int = 4  # raw target bins per output bin (1kb -> 4kb)
     seq_len: int = 1_000_000
@@ -45,25 +46,35 @@ class StageAConfig:
     remat: bool = True
 
 
+def _align_heads(pred: jax.Array, num_2d: int) -> jax.Array:
+    """(N, crop, crop, num_2d) channel-last prediction -> the target layout:
+    (N, crop, crop) single-head, (N, num_2d, crop, crop) multi-head."""
+    if num_2d == 1:
+        return pred[..., 0]
+    return jnp.moveaxis(pred, -1, 1)
+
+
 def make_stage_a_step(cfg: StageAConfig):
     """Returns jitted step(params, opt_state, seq, target, target_1d, rng,
     lr, normmat_r, eps) -> (params, opt_state, metrics).
 
-    seq: (N, L, 4); target: (N, crop*f, crop*f) raw balanced contacts;
-    target_1d: (N, crop, num_1d) binary tracks.
+    seq: (N, L, 4); target: (N, crop*f, crop*f) raw balanced contacts
+    ((N, num_2d, crop*f, crop*f) for multi-head models, one dataset per
+    head — orca_leukemia-style training); target_1d: (N, crop, num_1d)
+    binary tracks. normmat_r: (crop, crop) or (num_2d, crop, crop).
     """
     opt = optim.sgd(cfg.momentum)
 
     def loss_fn(params, seq, target, target_1d, rng, normmat_r, eps):
         bn = BNUpdates()
         out = decoders.apply_net(
-            params, seq, num_1d=cfg.num_1d, train=True, rng=rng,
-            bn_updates=bn, remat=cfg.remat,
+            params, seq, num_1d=cfg.num_1d, num_2d=cfg.num_2d, train=True,
+            rng=rng, bn_updates=bn, remat=cfg.remat,
         )
         pred, pred_1d = out if cfg.num_1d else (out, None)
         target_r = losses.downsample_nanmean(target, cfg.crop, cfg.target_factor)
         tlog = losses.log_fold_target(target_r, normmat_r, eps)
-        loss2d = losses.masked_mse(pred[..., 0], tlog)
+        loss2d = losses.masked_mse(_align_heads(pred, cfg.num_2d), tlog)
         loss1d = (
             losses.bce(pred_1d, target_1d) if cfg.num_1d else jnp.float32(0)
         )
@@ -77,7 +88,7 @@ def make_stage_a_step(cfg: StageAConfig):
         # 50% reverse-complement augmentation (train_h1esc_a.py:136-139)
         flip = jax.random.bernoulli(rng_flip)
         seq = jnp.where(flip, jnp.flip(seq, axis=(1, 2)), seq)
-        target = jnp.where(flip, jnp.flip(target, axis=(1, 2)), target)
+        target = jnp.where(flip, jnp.flip(target, axis=(-2, -1)), target)
         if cfg.num_1d:
             target_1d = jnp.where(flip, jnp.flip(target_1d, axis=(1,)),
                                   target_1d)
@@ -98,13 +109,15 @@ def stage_a_eval_metrics(params, cfg: StageAConfig, seq, target, target_1d,
                          normmat_r, eps):
     """Validation forward: returns (pearson r per sample, mse, bce)
     (train_h1esc_a.py:183-247)."""
-    out = decoders.apply_net(params, seq, num_1d=cfg.num_1d)
+    out = decoders.apply_net(params, seq, num_1d=cfg.num_1d,
+                             num_2d=cfg.num_2d)
     pred, pred_1d = out if cfg.num_1d else (out, None)
     target_r = losses.downsample_nanmean(target, cfg.crop, cfg.target_factor)
     tlog = losses.log_fold_target(target_r, normmat_r, eps)
-    mse = losses.masked_mse(pred[..., 0], tlog)
+    aligned = _align_heads(pred, cfg.num_2d)
+    mse = losses.masked_mse(aligned, tlog)
     corr = jax.vmap(losses.pearson_r)(
-        pred[..., 0].reshape(pred.shape[0], -1),
+        aligned.reshape(pred.shape[0], -1),
         tlog.reshape(pred.shape[0], -1),
     )
     loss1d = losses.bce(pred_1d, target_1d) if cfg.num_1d else jnp.float32(0)
@@ -125,6 +138,22 @@ class StageBConfig:
     up_pass: bool = True  # Encoder2 (True) or Encoder2b (HCTnoc variant)
     use_1pt: bool = True  # add frozen Decoder_1m head at level 1
     upsample_mode: str = "nearest"  # training decoders default (Decoder())
+    # multi-cell-type heads (leukemia variants: one dataset per head,
+    # num_2d-channel decoders and distance encodings, orca_leukemia.py);
+    # targets/normmats gain a (num_2d,) axis after batch/level
+    num_2d: int = 1
+
+
+def _distenc(normmat_j: jax.Array, n: int, crop: int,
+             num_2d: int) -> jax.Array:
+    """Per-level distance encoding -> (N, crop, crop, num_2d) channel-last
+    (single-head normmats are (crop, crop); multi-head (num_2d, crop, crop))."""
+    log_nm = jnp.log(normmat_j)
+    if log_nm.ndim == 2:
+        log_nm = log_nm[None]
+    return jnp.broadcast_to(
+        jnp.moveaxis(log_nm, 0, -1)[None], (n, crop, crop, num_2d)
+    )
 
 
 def make_stage_b_step(cfg: StageBConfig, encoder_fn=None):
@@ -164,24 +193,24 @@ def make_stage_b_step(cfg: StageBConfig, encoder_fn=None):
         coarse = None
         for j, level in enumerate(cfg.levels):
             target_r = _dynamic_downsample(target, start, crop, level)
-            distenc = jnp.broadcast_to(
-                jnp.log(normmats[j])[None, :, :, None],
-                (seq.shape[0], crop, crop, 1),
-            )
+            distenc = _distenc(normmats[j], seq.shape[0], crop, cfg.num_2d)
             enc_crop = jax.lax.dynamic_slice_in_dim(
                 encs[level], start // level, crop, axis=1
             )
             pred = decoders.apply_decoder(
                 trainable["decoders"][level], enc_crop, distenc, coarse,
-                upsample_mode=cfg.upsample_mode, train=True, rng=rngs[j],
-                bn_updates=bn, path=f"decoders/{level}",
+                num_2d=cfg.num_2d, upsample_mode=cfg.upsample_mode,
+                train=True, rng=rngs[j], bn_updates=bn,
+                path=f"decoders/{level}",
             )
             if level == 1 and cfg.use_1pt and frozen.get("decoder_1pt") is not None:
                 pred = pred + decoders.apply_decoder1m(
-                    frozen["decoder_1pt"], enc_crop
+                    frozen["decoder_1pt"], enc_crop, num_2d=cfg.num_2d
                 )
             tlog = losses.log_fold_target(target_r, normmats[j], epss[j])
-            lvl_loss = losses.masked_mse(pred[..., 0], tlog)
+            lvl_loss = losses.masked_mse(
+                _align_heads(pred, cfg.num_2d), tlog
+            )
             total = total + lvl_loss
             metrics[f"loss_{level}"] = lvl_loss
             # random zoom (train_h1esc_b.py:247-263), detached coarse pred
@@ -241,25 +270,23 @@ def make_stage_b_eval(cfg: StageBConfig, encoder_fn=None):
         mses, corrs = {}, {}
         for j, level in enumerate(cfg.levels):
             target_r = _dynamic_downsample(target, start, crop, level)
-            distenc = jnp.broadcast_to(
-                jnp.log(normmats[j])[None, :, :, None],
-                (seq.shape[0], crop, crop, 1),
-            )
+            distenc = _distenc(normmats[j], seq.shape[0], crop, cfg.num_2d)
             enc_crop = jax.lax.slice_in_dim(
                 encs[level], start // level, start // level + crop, axis=1
             )
             pred = decoders.apply_decoder(
                 trainable["decoders"][level], enc_crop, distenc, coarse,
-                upsample_mode=cfg.upsample_mode,
+                num_2d=cfg.num_2d, upsample_mode=cfg.upsample_mode,
             )
             if (level == 1 and cfg.use_1pt
                     and frozen.get("decoder_1pt") is not None):
                 pred = pred + decoders.apply_decoder1m(
-                    frozen["decoder_1pt"], enc_crop
+                    frozen["decoder_1pt"], enc_crop, num_2d=cfg.num_2d
                 )
             tlog = losses.log_fold_target(target_r, normmats[j], epss[j])
-            mses[level] = losses.masked_mse(pred[..., 0], tlog)
-            corrs[level] = losses.pearson_r_per_sample(pred[..., 0], tlog)
+            aligned = _align_heads(pred, cfg.num_2d)
+            mses[level] = losses.masked_mse(aligned, tlog)
+            corrs[level] = losses.pearson_r_per_sample(aligned, tlog)
             # fixed zoom offsets: 63 after the coarsest level, 62 after
             # the rest (train_h1esc_b.py:465-476), generalized to crop/2
             off = half // 2 + 1 if j == 0 else half // 2
@@ -270,18 +297,21 @@ def make_stage_b_eval(cfg: StageBConfig, encoder_fn=None):
     return evaluate
 
 
-def make_stage_c_eval(cfg: StageCConfig):
+def make_stage_c_eval(cfg: StageCConfig, encoder_fn=None):
     """Stage-c validation at the reference's fixed offsets
     (train_h1esc_c.py:406-412: +62*32 after the coarsest, then +63*factor),
-    with per-sample background normmats."""
+    with per-sample background normmats. encoder_fn: see make_stage_b_step."""
     geom = cfg.geometry
     crop, half = geom.crop, geom.half
+    if encoder_fn is None:
+        def encoder_fn(p, s):
+            return encoders.apply_encoder_tower(
+                p, s, block_bp=cfg.encoder_block_bp
+            )
 
     @jax.jit
     def evaluate(trainable, frozen, seq, target, normmat):
-        feats = encoders.apply_encoder_tower(
-            frozen["encoder"], seq, block_bp=cfg.encoder_block_bp
-        )
+        feats = encoder_fn(frozen["encoder"], seq)
         enc128k = encoders.apply_pyramid(
             frozen["pyramid1"], feats, levels=5, up_pass=True
         )[-1]
@@ -324,11 +354,13 @@ def make_stage_c_eval(cfg: StageCConfig):
 
 
 def _dynamic_downsample(target: jax.Array, start, crop: int, factor: int):
-    """NaN-aware block mean of target[:, start:start+crop*f, ...] with a
-    dynamic start (in-jit version of train_h1esc_b.py:200-208)."""
+    """NaN-aware block mean of target[..., start:start+crop*f, start:...]
+    with a dynamic start (in-jit version of train_h1esc_b.py:200-208).
+    Leading axes (batch, multi-head datasets) pass through."""
     n = crop * factor
+    lead = target.shape[:-2]
     sl = jax.lax.dynamic_slice(
-        target, (0, start, start), (target.shape[0], n, n)
+        target, (0,) * len(lead) + (start, start), (*lead, n, n)
     )
     return losses.downsample_nanmean(sl, crop, factor)
 
@@ -347,23 +379,27 @@ class StageCConfig:
     upsample_mode: str = "nearest"
 
 
-def make_stage_c_step(cfg: StageCConfig):
+def make_stage_c_step(cfg: StageCConfig, encoder_fn=None):
     """Returns jitted step(trainable, frozen, opt_state, seq, target,
     normmat, rng, lr) -> (trainable, opt_state, metrics).
 
     trainable = {"pyramid": Encoder3 params, "decoders": {level: ...}};
     frozen = {"encoder": ..., "pyramid1": ...}; normmat: (N, bins, bins)
     per-sample background (NaNs pre-filled by the sampler).
+    encoder_fn: see make_stage_b_step (sequence-sharded mesh override).
     """
     opt = optim.sgd(cfg.momentum)
     geom = cfg.geometry
     crop, half = geom.crop, geom.half
+    if encoder_fn is None:
+        def encoder_fn(p, s):
+            return encoders.apply_encoder_tower(
+                p, s, block_bp=cfg.encoder_block_bp
+            )
 
     def cascade_loss(trainable, frozen, seq, target, normmat, rng):
         bn = BNUpdates()
-        feats = encoders.apply_encoder_tower(
-            frozen["encoder"], seq, block_bp=cfg.encoder_block_bp
-        )
+        feats = encoder_fn(frozen["encoder"], seq)
         enc128k = encoders.apply_pyramid(
             frozen["pyramid1"], feats, levels=5, up_pass=True
         )[-1]

@@ -41,7 +41,8 @@ def make_swa_bn_refresh(cfg):
     def _collect(avg_params, seq, rng):
         bn = BNUpdates()
         decoders.apply_net(
-            avg_params, seq, num_1d=cfg.num_1d, train=True, rng=rng,
+            avg_params, seq, num_1d=cfg.num_1d,
+            num_2d=getattr(cfg, "num_2d", 1), train=True, rng=rng,
             bn_updates=bn, remat=cfg.remat,
         )
         return bn.updates

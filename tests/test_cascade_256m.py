@@ -56,75 +56,10 @@ def _build_pair(seed=0):
     return (net0, net1, net, denets), bundle
 
 
-def _torch_cascade_256(modules, seq_np, normmat, chrlen, mpos, wpos, geom):
-    net0, net1, net, denets = modules
-    crop, half = geom.crop, geom.half
-    nm = normmat.copy()
-    mask = np.isnan(nm)
-    if mask.any():
-        nm[mask] = np.nanmin(nm[~mask])
-    allpreds = []
-    allstarts = []
-    with torch.no_grad():
-        for iii, seq in enumerate(
-            [seq_np, np.ascontiguousarray(seq_np[:, ::-1, ::-1])]
-        ):
-            x = torch.FloatTensor(seq).transpose(1, 2)
-            encodings = dict(
-                zip((32, 64, 128, 256), net(net1(net0(x))[-1]))
-            )
-            preds = []
-            starts = [0]
-            for j, level in enumerate((256, 128, 64, 32)):
-                factor = geom.bins // (crop * 2**j)
-                n = crop * factor
-                s = starts[j]
-                nr = (
-                    nm[s : s + n, s : s + n]
-                    .reshape(crop, factor, crop, factor)
-                    .mean(axis=(1, 3))
-                )
-                distenc = torch.log(torch.FloatTensor(nr[None, None]))
-                if iii != 0:
-                    distenc = torch.flip(distenc, [2, 3])
-                enc = encodings[level][:, :, s // factor : s // factor + crop]
-                if j == 0:
-                    pred = denets[level](enc, distenc)
-                else:
-                    coarse = preds[j - 1][
-                        :, :, start_index : start_index + half,
-                        start_index : start_index + half,
-                    ]
-                    pred = denets[level](enc, distenc, coarse)
-                span = geom.span_bp(factor)
-                halfwin = geom.window_bp / 2
-                if iii == 0:
-                    proposed = (mpos - span / 4) - (
-                        wpos - halfwin + s * geom.bin_bp
-                    )
-                else:
-                    proposed = (mpos - span / 4) - (
-                        wpos + halfwin - s * geom.bin_bp - span
-                    )
-                b0 = 0 - (wpos - halfwin)
-                b1 = chrlen - span / 2 - (wpos - halfwin)
-                proposed = np.clip(proposed, b0, b1) if b0 < b1 else b0
-                start_index = int(
-                    np.clip(np.floor(proposed / (geom.bin_bp * factor)), 0, half)
-                )
-                if iii != 0:
-                    start_index = crop - (start_index + half)
-                starts.append(s + start_index * factor)
-                preds.append(pred)
-            allpreds.append(preds)
-            if iii == 0:
-                allstarts = starts[:-1]
-    outs = [
-        allpreds[0][j].numpy()[0, 0] * 0.5
-        + allpreds[1][j].numpy()[0, 0, ::-1, ::-1] * 0.5
-        for j in range(4)
-    ]
-    return outs, allstarts
+# the torch oracle lives in orca_tpu.certify (shared with `orca-tpu
+# certify --families 256m`), so certification logic is continuously
+# validated at scaled geometry here
+from orca_tpu.certify import torch_cascade_256m as _torch_cascade_256
 
 
 @pytest.mark.parametrize("mpos_frac", [0.3, 0.62])

@@ -29,17 +29,16 @@ def _write_fake_resources(tmp_path):
     resource_dir.mkdir()
 
     torch.manual_seed(7)
-    net0 = ref.Encoder()
+    full_net = ref.Net(num_1d=32)
     net = ref.Encoder2()
-    denet_1pt = ref.Decoder_1m()
-    # the net0 file mimics the released stage-a checkpoint: one statedict
-    # holding both the encoder's and Decoder_1m's keys, 'module.'-prefixed
-    # (orca_models.py:103-123)
-    net0_sd = {}
-    for mod in (net0, denet_1pt):
-        for k, v in mod.state_dict().items():
-            net0_sd[f"module.{k}"] = v
-    torch.save(net0_sd, model_dir / "orca_h1esc.net0.statedict")
+    # the net0 file mimics the released stage-a checkpoint: the full Net
+    # statedict, of which the Encoder's and Decoder_1m's keys are subsets
+    # sliced out by key filtering (orca_models.py:103-123), and which the
+    # 1M model loads whole (orca_models.py:449-494); 'module.'-prefixed
+    torch.save(
+        {f"module.{k}": v for k, v in full_net.state_dict().items()},
+        model_dir / "orca_h1esc.net0.statedict",
+    )
     torch.save(
         {f"module.{k}": v for k, v in net.state_dict().items()},
         model_dir / "orca_h1esc.net.statedict",
@@ -50,12 +49,39 @@ def _write_fake_resources(tmp_path):
             {f"module.{k}": v for k, v in d.state_dict().items()},
             model_dir / f"orca_h1esc.d{level}.statedict",
         )
+    # 256m family: Encoder3 + 4 decoders (orca_models.py:545-760)
+    net3 = ref.Encoder3()
+    torch.save(
+        {f"module.{k}": v for k, v in net3.state_dict().items()},
+        model_dir / "orca_h1esc_256m.net.statedict",
+    )
+    for level in (32, 64, 128, 256):
+        d = ref.Decoder(upsample_mode="bilinear")
+        torch.save(
+            {f"module.{k}": v for k, v in d.state_dict().items()},
+            model_dir / f"orca_h1esc_256m.d{level}.statedict",
+        )
 
-    # expectation npy for the background normmats
+    # expectation npys for the background normmats (res4000: 32m; res1000:
+    # 1m; res32000 mono/trans: 256m)
     d = np.arange(GEOM.bins, dtype=np.float64)
     np.save(
         resource_dir / "4DNFI9GMP2J8.rebinned.mcool.expected.res4000.npy",
         -1.5 * np.log1p(d) - 2.0,
+    )
+    d = np.arange(1000, dtype=np.float64)
+    np.save(
+        resource_dir / "4DNFI9GMP2J8.rebinned.mcool.expected.res1000.npy",
+        -1.5 * np.log1p(d) - 2.0,
+    )
+    d = np.arange(128, dtype=np.float64)
+    np.save(
+        resource_dir / "4DNFI9GMP2J8.rebinned.mcool.expected.res32000.mono.npy",
+        -1.2 * np.log1p(d) - 3.0,
+    )
+    np.save(
+        resource_dir / "4DNFI9GMP2J8.rebinned.mcool.expected.res32000.trans.npy",
+        np.float64(-9.0),
     )
 
     # tiny hg38 stand-in: two chromosomes, 2 windows each
@@ -85,4 +111,46 @@ def test_certify_32m_scaled(tmp_path):
     assert report["pass"], report
     diffs = report["h1esc"]["chr9:1300000"]
     assert set(diffs) == {32, 16, 8, 4, 2, 1}
+    assert all(v <= 2e-3 for v in diffs.values()), diffs
+
+
+def test_certify_1m_scaled(tmp_path):
+    from orca_tpu.certify import certify_1m
+
+    model_dir, resource_dir = _write_fake_resources(tmp_path)
+    report = certify_1m(
+        model_dir, resource_dir, REFERENCE_DIR,
+        names=("h1esc",),
+        windows=[("chr9", 512_000)],
+        atol=2e-3,
+        seq_len=128_000,
+    )
+    assert report["pass"], report
+    diffs = report["h1esc"]["chr9:512000"]
+    assert set(diffs) == {"2d", "1d"}
+    # bf16 serving-precision report mode: must run and report (looser) diffs
+    report_bf16 = certify_1m(
+        model_dir, resource_dir, REFERENCE_DIR,
+        names=("h1esc",), windows=[("chr9", 512_000)],
+        atol=0.5, seq_len=128_000, dtype="bfloat16",
+    )
+    assert report_bf16["dtype"] == "bfloat16"
+    assert report_bf16["h1esc"]["chr9:512000"]["2d"] >= diffs["2d"]
+
+
+def test_certify_256m_scaled(tmp_path):
+    from orca_tpu.certify import certify_256m
+
+    model_dir, resource_dir = _write_fake_resources(tmp_path)
+    geom256 = CascadeGeometry(window_bp=4_096_000, bin_bp=32_000, crop=4)
+    report = certify_256m(
+        model_dir, resource_dir, REFERENCE_DIR,
+        names=("h1esc",),
+        windows=[("chr8", "chr9", 1_000_000)],
+        atol=2e-3,
+        geometry=geom256,
+    )
+    assert report["pass"], report
+    diffs = report["h1esc"]["chr8:1000000"]
+    assert set(diffs) == {256, 128, 64, 32}
     assert all(v <= 2e-3 for v in diffs.values()), diffs

@@ -51,3 +51,54 @@ def test_workers_draw_distinct_batches():
     # per-worker reseeding: no two batches identical
     flat = [s.ravel()[:16].tolist() for s in seqs]
     assert len({tuple(f) for f in flat}) > 1
+
+
+class RaisingSampler:
+    """Raises after `ok` good batches (a cooler I/O hiccup mid-run)."""
+
+    def __init__(self, ok=0):
+        self.ok = ok
+        self.rng = np.random.default_rng(0)
+
+    def sample(self, batch_size, mode="train"):
+        if self.ok <= 0:
+            raise OSError("simulated cooler I/O failure")
+        self.ok -= 1
+        return (self.rng.random((batch_size, 8, 4)).astype(np.float32),)
+
+
+@pytest.mark.parametrize("backend", ["process", "thread"])
+def test_worker_exception_propagates_fast(backend):
+    """A raising sampler must surface as WorkerError, not hang forever
+    (round-2 VERDICT weak #1)."""
+    from orca_tpu.data.pipeline import WorkerError
+
+    t0 = time.time()
+    with PrefetchLoader(RaisingSampler(), batch_size=1, num_workers=2,
+                        backend=backend) as loader:
+        with pytest.raises(WorkerError, match="cooler I/O failure"):
+            for _ in range(8):  # drain any race-y good batches
+                loader.get(timeout=10)
+    assert time.time() - t0 < 10
+
+
+def test_dead_worker_pool_raises():
+    """Workers killed without a traceback (e.g. OOM) must raise instead
+    of blocking forever."""
+    import os
+
+    class ExitingSampler:
+        def sample(self, batch_size, mode="train"):
+            os._exit(13)  # simulates the kernel OOM-killer
+
+    with PrefetchLoader(ExitingSampler(), batch_size=1, num_workers=2,
+                        backend="process") as loader:
+        with pytest.raises((RuntimeError, TimeoutError)):
+            loader.get(timeout=15)
+
+
+def test_get_timeout():
+    with PrefetchLoader(SlowSampler(5.0), batch_size=1, num_workers=1,
+                        backend="thread") as loader:
+        with pytest.raises(TimeoutError):
+            loader.get(timeout=0.2)

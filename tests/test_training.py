@@ -161,3 +161,119 @@ def test_stage_b_step_runs():
     )
     assert np.isfinite(float(metrics["loss"]))
     assert set(metrics) == {"loss"} | {f"loss_{lv}" for lv in levels}
+
+
+def test_stage_a_step_multi_head():
+    """num_2d>1 (leukemia-style): per-dataset targets/normmats, one output
+    head per dataset (orca_leukemia.py model family, trained)."""
+    cfg = StageAConfig(num_1d=None, num_2d=2, crop=10, target_factor=4,
+                       seq_len=40_000, remat=False)
+    params = decoders.init_net(jax.random.PRNGKey(0), num_1d=None, num_2d=2)
+    opt, step = make_stage_a_step(cfg)
+    opt_state = opt.init(params)
+    rng = np.random.RandomState(5)
+    seq = jnp.array(rng.rand(2, 40_000, 4).astype(np.float32))
+    target = jnp.array(np.abs(rng.rand(2, 2, 40, 40)).astype(np.float32))
+    target_1d = jnp.zeros((2, 10, 0), jnp.float32)
+    normmat_r = jnp.array(
+        np.stack([np.full((10, 10), 0.1), np.full((10, 10), 0.2)]),
+        jnp.float32,
+    )
+    hist = []
+    for _ in range(3):
+        params, opt_state, metrics = step(
+            params, opt_state, seq, target, target_1d,
+            jax.random.PRNGKey(11), jnp.float32(0.002), normmat_r, 0.1,
+        )
+        hist.append(float(metrics["loss"]))
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
+
+
+def test_stage_b_step_multi_head():
+    geom = CascadeGeometry(window_bp=1_024_000, bin_bp=4000, crop=8)
+    levels = (32, 1)
+    num_2d = 2
+    # leukemia pyramid has no upward pass (orca_leukemia.py:1499-1601)
+    cfg = StageBConfig(geometry=geom, encoder_block_bp=None, levels=levels,
+                       num_2d=num_2d, up_pass=False)
+    key = jax.random.PRNGKey(3)
+    ke, kp, kd = jax.random.split(key, 3)
+    trainable = {
+        "pyramid": encoders.init_pyramid(kp, 5, False),
+        "decoders": {
+            lv: decoders.init_decoder(k, num_2d=num_2d)
+            for lv, k in zip(levels, jax.random.split(kd, len(levels)))
+        },
+    }
+    frozen = {
+        "encoder": fold_params(
+            encoders.init_encoder_tower(ke), encoders.encoder_tower_spec()
+        ),
+        "decoder_1pt": fold_params(
+            decoders.init_decoder1m(jax.random.PRNGKey(9), num_2d=num_2d),
+            decoders.decoder1m_spec(num_2d),
+        ),
+    }
+    opt, step = make_stage_b_step(cfg)
+    opt_state = opt.init(trainable)
+    from orca_tpu.models.zoo import multi_normmats_from_expectations
+
+    d = np.arange(geom.bins, dtype=np.float64)
+    normmats, epss = multi_normmats_from_expectations(
+        [-1.5 * np.log1p(d) - 2.0, -1.4 * np.log1p(d) - 2.1],
+        levels=levels, nbins=geom.bins, crop=geom.crop,
+    )
+    nm = jnp.stack(
+        [jnp.array(normmats[lv], jnp.float32) for lv in levels]
+    )  # (n_levels, num_2d, crop, crop)
+    ep = jnp.array([epss[lv] for lv in levels], jnp.float32)
+    rng = np.random.RandomState(6)
+    seq = jnp.array(rng.rand(1, geom.window_bp, 4).astype(np.float32))
+    target = jnp.array(
+        np.abs(rng.rand(1, num_2d, geom.bins, geom.bins)).astype(np.float32)
+    )
+    trainable, opt_state, metrics = step(
+        trainable, frozen, opt_state, seq, target, jax.random.PRNGKey(7),
+        jnp.float32(0.002), nm, ep,
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sampler_stacked_contact_matrix():
+    from orca_tpu.data import genome as g
+    from orca_tpu.data.sampler import RandomWindowSampler
+    from orca_tpu.data.targets import DenseContactMatrix, StackedContactMatrix
+
+    rng = np.random.RandomState(0)
+    gen = g.CodeGenome({
+        "chr1": rng.randint(0, 4, 100_000).astype(np.uint8),
+        "chr2": rng.randint(0, 4, 100_000).astype(np.uint8),
+    })
+    singles = []
+    for i in range(2):
+        mats = {c: np.abs(rng.rand(100, 100)).astype(np.float32)
+                for c, _ in gen.get_chr_lens()}
+        singles.append(DenseContactMatrix(mats, resolution=1000,
+                                          shape=(20, 20)))
+    stacked = StackedContactMatrix(singles)
+    assert stacked.shape == (2, 20, 20)
+    sampler = RandomWindowSampler(
+        gen, stacked, sequence_length=20_000, position_resolution=1000,
+        random_strand=True, cross_chromosome=True,
+        validation_holdout=["chr2"], test_holdout=[], seed=3,
+    )
+    seq, target = sampler.sample(2)[:2]
+    assert target.shape == (2, 2, 20, 20)
+    # each head slice equals the corresponding single-source retrieval
+    coords = sampler.sample(1, coordinate_only=True)[0]
+    t = stacked.get_feature_data(
+        coords[0].chrom, coords[0].start, coords[0].end
+    )
+    for i in range(2):
+        np.testing.assert_array_equal(
+            t[i],
+            singles[i].get_feature_data(
+                coords[0].chrom, coords[0].start, coords[0].end
+            ),
+        )
