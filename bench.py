@@ -43,29 +43,36 @@ def _load_torch_baseline():
     return None
 
 
-def _measure(dtype: str, seq, mpos, wpos, iters: int):
-    import jax
+def _bundles(dtype: str, seeds):
+    from orca_tpu.certify import _cast_bundle
+    from orca_tpu.models import zoo
+
+    return [
+        _cast_bundle(zoo.fold_bundle(zoo.random_32m_bundle(seed=s)), dtype)
+        for s in seeds
+    ]
+
+
+def _measure(dtype: str, seq, mpos, wpos, iters: int, n_models: int = 1):
     import jax.numpy as jnp
 
-    from orca_tpu.models import zoo
     from orca_tpu.predict.multiscale import GEOM_32M, _cascade_32mb
 
-    bundle = zoo.fold_bundle(zoo.random_32m_bundle(seed=0))
-    if dtype == "bfloat16":
-        bundle = jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-            bundle,
-        )
-    log_normmats = jnp.asarray(bundle.log_normmats())
+    bundles = _bundles(dtype, range(n_models))
+    log_normmats = jnp.asarray(bundles[0].log_normmats())
 
     def run():
-        preds, starts = _cascade_32mb(
-            bundle, GEOM_32M, seq, mpos, wpos, log_normmats
-        )
-        # Force a device->host fetch: on tunneled/remote backends
-        # block_until_ready alone may not cover execution completion.
-        return float(jnp.sum(preds[-1]))
+        # the standard predict loops models sequentially (measured optimal:
+        # the chip is saturated by one cascade; docs/ARCHITECTURE.md)
+        s = 0.0
+        for bundle in bundles:
+            preds, starts = _cascade_32mb(
+                bundle, GEOM_32M, seq, mpos, wpos, log_normmats
+            )
+            # Force a device->host fetch: on tunneled/remote backends
+            # block_until_ready alone may not cover execution completion.
+            s += float(jnp.sum(preds[-1]))
+        return s
 
     t0 = time.time()
     run()  # compile + warmup
@@ -124,13 +131,16 @@ def main():
             mb_per_s / torch_baseline["mb_per_s"], 1
         )
 
-    # Standard 2-model (H1-ESC + HFF) region predict: measured sequential —
-    # the device is already saturated by one cascade (probe on v5e-lite:
-    # 2-model sequential = 2.01x one model; encoder batch-4 = 1.88x
-    # batch-2; vmapped 2-model decoders = 2.23x single — param-stacked
-    # batching LOSES; scripts/probe_two_model.py). This field is the
-    # number users of the default 2-model predict actually see.
-    result["two_model_mb_per_s"] = round(mb_per_s / 2.01, 3)
+    # Standard 2-model (H1-ESC + HFF) region predict, MEASURED sequential —
+    # the device is already saturated by one cascade, so param-stacked
+    # batching loses (probe on v5e-lite: encoder batch-4 = 1.88x batch-2,
+    # vmapped 2-model decoders = 2.23x single; scripts/probe_two_model.py
+    # + docs/ARCHITECTURE.md). This is the number users of the default
+    # 2-model predict actually see. The second bundle reuses the compiled
+    # programs, so this costs ~2 windows of extra runtime, no compile.
+    dt2, _ = _measure(DTYPE, seq, mpos, wpos, max(1, iters - 1), n_models=2)
+    result["two_model_mb_per_s"] = round(32.0 / dt2, 3)
+    result["two_model_seconds_per_window"] = round(dt2, 3)
 
     # fp32 reference-parity mode as secondary fields of the same artifact
     if DTYPE != "float32" and not os.environ.get("ORCA_BENCH_SKIP_FP32"):

@@ -258,7 +258,13 @@ def build_torch_1m(model_dir: str, name: str, reference_path: str):
         sys.path.insert(0, reference_path)
     import orca_modules as ref
 
-    num_1d = {"h1esc": 32, "hff": 22}[name]
+    num_1d_by_name = {"h1esc": 32, "hff": 22}
+    if name not in num_1d_by_name:
+        raise ValueError(
+            f"the 1m family ships only h1esc/hff checkpoints "
+            f"(orca_models.py:449-542); got {name!r}"
+        )
+    num_1d = num_1d_by_name[name]
     sd = torch.load(os.path.join(model_dir, f"orca_{name}.net0.statedict"),
                     map_location="cpu")
     return _load_filtered(ref.Net(num_1d=num_1d), sd), num_1d

@@ -282,6 +282,13 @@ def _serve(args, parser):
 
         set_inference_mesh(inference_mesh_from_seq_shards(args.seq_shards))
 
+    # Surface parser.error messages (bad flags, missing resources) to the
+    # client as ERR lines instead of a bare SystemExit.
+    def _raise_parser_error(msg):
+        raise RuntimeError(msg)
+
+    parser.error = _raise_parser_error
+
     res_cache = {}
     print("READY", flush=True)
     for line in sys.stdin:
@@ -296,22 +303,23 @@ def _serve(args, parser):
                 raise ValueError(
                     f"unknown mode {argv[0]!r} (region|del|dup|inv|break)"
                 )
-            cmd_args = parser.parse_args(argv + (
-                ["--model-dir", args.model_dir] if args.model_dir else []
-            ) + (
-                ["--resource-dir", args.resource_dir]
-                if args.resource_dir else []
-            ))
+            # server-level dirs are DEFAULTS; per-line flags win
+            if args.model_dir and "--model-dir" not in argv:
+                argv += ["--model-dir", args.model_dir]
+            if args.resource_dir and "--resource-dir" not in argv:
+                argv += ["--resource-dir", args.resource_dir]
+            cmd_args = parser.parse_args(argv)
             fam = "256M" if cmd_args.use_256m else "32M"
-            if fam not in res_cache:
-                res_cache[fam] = load_resources(
+            key = (fam, cmd_args.model_dir, cmd_args.resource_dir)
+            if key not in res_cache:
+                res_cache[key] = load_resources(
                     models=[fam], model_dir=cmd_args.model_dir,
                     resource_dir=cmd_args.resource_dir,
                 )
-            _run_prediction(cmd_args, parser, res=res_cache[fam])
+            _run_prediction(cmd_args, parser, res=res_cache[key])
             print("OK", flush=True)
         except SystemExit:
-            print("ERR argparse rejected the command", flush=True)
+            print("ERR command rejected (see stderr)", flush=True)
         except Exception as e:  # noqa: BLE001 — server must not die
             print(f"ERR {type(e).__name__}: {e}", flush=True)
     return 0

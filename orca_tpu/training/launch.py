@@ -191,6 +191,11 @@ def build_target_1d(job: TrainJob, crop: int):
     train_h1esc_a.py:55-62)."""
     if not job.bed_path:
         return None
+    if not job.bed_features:
+        raise ValueError(
+            "bed_path is set but bed_features (file listing one track name "
+            "per line) is missing"
+        )
     from orca_tpu.data.targets import BinnedBedFeatures
 
     with open(job.bed_features) as f:
@@ -243,6 +248,13 @@ def build_mesh(job: TrainJob):
     sizes = dict(
         part.split("=") for part in job.mesh.replace(" ", "").split(",")
     )
+    unknown = set(sizes) - {"data", "seq"}
+    if unknown:
+        # a typo'd axis must not silently shrink the mesh to 1x1
+        raise ValueError(
+            f"unknown mesh axes {sorted(unknown)} in {job.mesh!r} "
+            "(expected 'data=N,seq=M')"
+        )
     return make_mesh((int(sizes.get("data", 1)), int(sizes.get("seq", 1))))
 
 
@@ -408,6 +420,19 @@ def _make_stage_b(job: TrainJob):
     levels, geom = _stage_b_levels_geom(window_bp)
     if job.levels:
         levels = tuple(job.levels)
+        if any(a != 2 * b for a, b in zip(levels, levels[1:])):
+            # the coarse prediction from level L is upsampled 2x by the
+            # next decoder, which assumes the next level is L/2; other
+            # subsets run but with spatially misaligned coarse context —
+            # only meaningful for mechanics smoke tests
+            import warnings
+
+            warnings.warn(
+                f"stage-b levels {levels} are not consecutive halvings; "
+                "the coarse zoom context is spatially misaligned (fine "
+                "for smoke tests, wrong for real training)",
+                stacklevel=2,
+            )
     num_2d = len(_as_tuple(job.cooler_uri)) + len(_as_tuple(job.dense_store))
     cfg = StageBConfig(geometry=geom, levels=levels,
                        encoder_block_bp=None if window_bp <= 2_000_000

@@ -244,9 +244,13 @@ class StageATrainer:
             target_1d = batch[-1] if self.cfg.num_1d else np.zeros(
                 (seq.shape[0], self.cfg.crop, 0), np.float32
             )
+            # same mesh placement as the train step: on multi-host runs
+            # every process must see the same global validation batch (a
+            # per-host corr would step the LR scheduler divergently)
+            seq_d, target_d, target_1d_d = self._place(seq, target, target_1d)
             corr, _mse, _bce = stage_a_eval_metrics(
-                params, self.cfg, jnp.asarray(seq), jnp.asarray(target),
-                jnp.asarray(target_1d), self.normmat_r, self.eps,
+                params, self.cfg, seq_d, target_d, target_1d_d,
+                self.normmat_r, self.eps,
             )
             corrs.append(np.asarray(corr))
         return float(np.nanmean(np.concatenate(corrs)))
@@ -267,23 +271,30 @@ class StageBTrainer:
         (parallel.sequence.sharded_encoder_tower). The reference trains
         every stage on 4 GPUs via DataParallel (train_h1esc_b.py:170-187);
         here both batch and sequence axes scale across the mesh."""
+        self.normmats = jnp.asarray(normmats, jnp.float32)
+        self.epss = jnp.asarray(epss, jnp.float32)
+        encoder_fn = _mesh_encoder_fn(mesh, cfg.encoder_block_bp)
+        opt, step_fn = make_stage_b_step(cfg, encoder_fn=encoder_fn)
+        eval_fn = make_stage_b_eval(cfg, encoder_fn=encoder_fn)
+        self._base_init(cfg, loop, sampler, trainable, frozen, nan_skip,
+                        accumulate, mesh, opt, step_fn, eval_fn, "stage_b")
+
+    def _base_init(self, cfg, loop, sampler, trainable, frozen, nan_skip,
+                   accumulate, mesh, opt, step_fn, eval_fn, stage_name):
+        """State shared by the cascade-stage trainers (B and C)."""
         self.cfg = cfg
         self.loop = loop
         self.sampler = sampler
         self.trainable = trainable
         self.frozen = frozen
         self.mesh = mesh
-        self.normmats = jnp.asarray(normmats, jnp.float32)
-        self.epss = jnp.asarray(epss, jnp.float32)
         self.nan_skip = nan_skip
         self.accumulate = accumulate
-        encoder_fn = _mesh_encoder_fn(mesh, cfg.encoder_block_bp)
-        self.opt, self.step_fn = make_stage_b_step(cfg, encoder_fn=encoder_fn)
-        self.eval_fn = make_stage_b_eval(cfg, encoder_fn=encoder_fn)
+        self.opt, self.step_fn, self.eval_fn = opt, step_fn, eval_fn
         self.opt_state = self.opt.init(trainable)
         self.scheduler = optim.ReduceLROnPlateau(lr=loop.lr)
         self.step = 0
-        self.logger = MetricsLogger(loop.workdir, "stage_b")
+        self.logger = MetricsLogger(loop.workdir, stage_name)
         self.rng = jax.random.PRNGKey(loop.seed)
         self._loader = None
         if mesh is not None:
@@ -432,25 +443,11 @@ class StageCTrainer(StageBTrainer):
         """mesh: see StageBTrainer — dp batch placement over 'data', plus a
         sequence-sharded frozen encoder when 'seq' > 1 (the 256Mb windows
         are where sequence sharding matters most)."""
-        self.cfg = cfg
-        self.loop = loop
-        self.sampler = sampler
-        self.trainable = trainable
-        self.frozen = frozen
-        self.mesh = mesh
-        self.nan_skip = nan_skip
-        self.accumulate = accumulate
         encoder_fn = _mesh_encoder_fn(mesh, cfg.encoder_block_bp)
-        self.opt, self.step_fn = make_stage_c_step(cfg, encoder_fn=encoder_fn)
-        self.eval_fn = make_stage_c_eval(cfg, encoder_fn=encoder_fn)
-        self.opt_state = self.opt.init(trainable)
-        self.scheduler = optim.ReduceLROnPlateau(lr=loop.lr)
-        self.step = 0
-        self.logger = MetricsLogger(loop.workdir, "stage_c")
-        self.rng = jax.random.PRNGKey(loop.seed)
-        self._loader = None
-        if mesh is not None:
-            self._replicate_state()
+        opt, step_fn = make_stage_c_step(cfg, encoder_fn=encoder_fn)
+        eval_fn = make_stage_c_eval(cfg, encoder_fn=encoder_fn)
+        self._base_init(cfg, loop, sampler, trainable, frozen, nan_skip,
+                        accumulate, mesh, opt, step_fn, eval_fn, "stage_c")
 
     def _accumulate_batch(self, mode: str = "train"):
         seqs, targets, normmats = [], [], []

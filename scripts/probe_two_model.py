@@ -32,14 +32,12 @@ def main():
         _encode_32mb_jit,
     )
 
-    def bf16(b):
-        return jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, b
-        )
+    from orca_tpu.certify import _cast_bundle
 
-    b0 = bf16(zoo.fold_bundle(zoo.random_32m_bundle(seed=0)))
-    b1 = bf16(zoo.fold_bundle(zoo.random_32m_bundle(seed=1)))
+    b0 = _cast_bundle(zoo.fold_bundle(zoo.random_32m_bundle(seed=0)),
+                      "bfloat16")
+    b1 = _cast_bundle(zoo.fold_bundle(zoo.random_32m_bundle(seed=1)),
+                      "bfloat16")
     log_nm = jnp.asarray(b0.log_normmats())
 
     rng = np.random.RandomState(0)

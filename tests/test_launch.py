@@ -42,6 +42,9 @@ def test_build_mesh_spec():
     mesh = build_mesh(TrainJob(stage="a", workdir="x", mesh="data=2,seq=4"))
     assert mesh.shape == {"data": 2, "seq": 4}
     assert build_mesh(TrainJob(stage="a", workdir="x")) is None
+    # a typo'd axis must raise, not silently shrink the mesh
+    with pytest.raises(ValueError, match="date"):
+        build_mesh(TrainJob(stage="a", workdir="x", mesh="date=4,seq=2"))
 
 
 def _write_genome_fasta(path, chroms, rng):
