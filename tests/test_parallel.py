@@ -264,3 +264,73 @@ def test_dp_sp_stage_c_matches_single_device():
     w0 = np.asarray(trainable["pyramid"]["lblocks"][0][0]["w"])
     w2 = np.asarray(t2["pyramid"]["lblocks"][0][0]["w"])
     assert np.abs(w2 - w0).max() > 0  # gradients flowed on the mesh
+
+
+def test_stage_b_trainer_with_mesh(tmp_path):
+    """Trainer-level mesh integration: StageBTrainer(mesh=...) places
+    batches dp, replicates state, uses the sequence-sharded frozen encoder,
+    and validates through the same placement (the launcher's --mesh path
+    end-to-end, not just the raw step functions)."""
+    from orca_tpu.data import genome as g
+    from orca_tpu.data.sampler import RandomWindowSampler
+    from orca_tpu.data.targets import DenseContactMatrix
+    from orca_tpu.training.loop import LoopConfig, StageBTrainer
+
+    window_bp = 1_024_000  # crop 8 (even: coarse upsample = crop); 512kb shards
+    geom = CascadeGeometry(window_bp=window_bp, bin_bp=4000,
+                           crop=(window_bp // 4000) // 32)
+    levels = (32, 1)
+    cfg = StageBConfig(geometry=geom, encoder_block_bp=None, levels=levels)
+    rng = np.random.RandomState(0)
+    chrlen = 2 * window_bp
+    gen = g.CodeGenome({
+        "chr1": rng.randint(0, 4, chrlen).astype(np.uint8),
+        "chr2": rng.randint(0, 4, chrlen).astype(np.uint8),
+    })
+    nb = chrlen // geom.bin_bp
+    mats = {c: np.abs(rng.rand(nb, nb)).astype(np.float32)
+            for c, _ in gen.get_chr_lens()}
+    target = DenseContactMatrix(mats, resolution=geom.bin_bp,
+                                shape=(geom.bins, geom.bins))
+    sampler = RandomWindowSampler(
+        gen, target, sequence_length=window_bp,
+        position_resolution=geom.bin_bp, random_strand=False,
+        cross_chromosome=False, validation_holdout=["chr2"],
+        test_holdout=[], seed=0, packed_sequence=True,
+    )
+    key = jax.random.PRNGKey(0)
+    ke, kp, kd = jax.random.split(key, 3)
+    trainable = {
+        "pyramid": encoders.init_pyramid(kp, 5, True),
+        "decoders": {
+            lv: decoders.init_decoder(k)
+            for lv, k in zip(levels, jax.random.split(kd, len(levels)))
+        },
+    }
+    frozen = {
+        "encoder": fold_params(
+            encoders.init_encoder_tower(ke), encoders.encoder_tower_spec()
+        ),
+        "decoder_1pt": fold_params(
+            decoders.init_decoder1m(jax.random.PRNGKey(9)),
+            decoders.decoder1m_spec(1),
+        ),
+    }
+    normmats, epss = _random_normmats(levels=levels, nbins=geom.bins,
+                                      crop=geom.crop)
+    nm = np.stack([normmats[lv].astype(np.float32) for lv in levels])
+    ep = np.array([epss[lv] for lv in levels], np.float32)
+    loop = LoopConfig(
+        workdir=str(tmp_path), lr=0.002, batch_size=2, checkpoint_every=10,
+        validate_every=10, val_batches=1, max_steps=2,
+    )
+    mesh = make_mesh((2, 2))
+    tr = StageBTrainer(cfg, loop, sampler, trainable, frozen, nm, ep,
+                       accumulate=2, mesh=mesh)
+    # replicated state landed on the mesh
+    assert len(tr.trainable["pyramid"]["lblocks"][0][0]["w"].sharding
+               .device_set) == 4
+    tr.run()
+    assert tr.step == 2
+    corr = tr.validate()
+    assert np.isfinite(corr) or np.isnan(corr)  # tiny-window corr may be nan
