@@ -7,6 +7,11 @@ plus framework utilities:
   convert       — torch statedicts -> orca_tpu bundle pickles
   expectation   — cooltools expected TSV -> .npy expectation files
   bench         — run the standard throughput benchmark
+  train         — launch a training stage from a TrainJob JSON (replaces
+                  the reference's eight train/*.py scripts; docs/TRAINING.md)
+  certify       — checkpoint parity report vs the reference implementation
+  serve         — warm prediction server (compiled cascades reused across
+                  commands read from stdin)
 
 Coordinates: 'chr1:1000000-2000000' for region/del/dup/inv;
 'chr1:1000000|chr2:2000000|+-' for break (two breakpoints + orientations).
