@@ -80,8 +80,8 @@ def main(argv=None):
     p.add_argument("memmap")
 
     p = sub.add_parser("convert", help="torch statedicts -> bundle pickle")
-    p.add_argument("family", choices=["32m", "1m", "256m"])
-    p.add_argument("name", help="h1esc | hff | hctnoc")
+    p.add_argument("family", choices=["32m", "1m", "256m", "leukemia"])
+    p.add_argument("name", help="h1esc | hff | hctnoc | leukemiaA | leukemiaB")
     p.add_argument("out")
     p.add_argument("--model-dir", default=None)
     p.add_argument("--resource-dir", default=None)
@@ -189,6 +189,7 @@ def main(argv=None):
             "32m": zoo.load_32m_bundle,
             "1m": zoo.load_1m_bundle,
             "256m": zoo.load_256m_bundle,
+            "leukemia": zoo.load_leukemia_bundle,
         }[args.family]
         bundle = loader(model_dir, resource_dir, args.name)
         zoo.save_bundle(bundle, args.out)

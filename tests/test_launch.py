@@ -221,3 +221,13 @@ def test_cli_train_stage_a_multi_head(tmp_path):
     rc = cli.main(["train", "a", "--config", str(cfg)])
     assert rc == 0
     assert os.path.isdir(os.path.join(workdir, "ckpt_2"))
+
+
+def test_load_resources_leukemia_missing_raises(tmp_path):
+    """Explicitly requesting leukemia models without the statedicts fails
+    with a clear error (not a silent empty model dict)."""
+    from orca_tpu.predict.resources import load_resources
+
+    with pytest.raises(FileNotFoundError, match="leukemia"):
+        load_resources(models=["leukemia"], model_dir=str(tmp_path),
+                       resource_dir=str(tmp_path))
