@@ -49,6 +49,8 @@ def main(argv=None):
         prog="orca-tpu",
         description="TPU-native multiscale genome interaction prediction",
     )
+    parser.add_argument("--version", action="version",
+                        version="orca-tpu 0.1.0")
     sub = parser.add_subparsers(dest="command", required=True)
 
     for mode in ("region", "del", "dup", "inv", "break"):
@@ -74,6 +76,9 @@ def main(argv=None):
                        help="genome assembly for the coordinates (the "
                        "reference auto-detects hg19, orca_predict.py:"
                        "158-175; here it is explicit)")
+        p.add_argument("--cpu", action="store_true",
+                       help="run on host CPU (the reference's --nocuda); "
+                       "fine for a few predictions, slow for screens")
 
     p = sub.add_parser("build-genome", help="FASTA -> code memmap")
     p.add_argument("fasta")
@@ -237,6 +242,16 @@ def main(argv=None):
     # prediction modes
     from orca_tpu.predict import pipelines
     from orca_tpu.predict.resources import load_resources
+
+    if getattr(args, "cpu", False):
+        # the reference's --nocuda; must run before any computation.
+        # config.update alone is ignored once a backend initialized (e.g.
+        # a TPU plugin registered at interpreter startup) — clear it.
+        import jax
+        from jax.extend.backend import clear_backends
+
+        jax.config.update("jax_platforms", "cpu")
+        clear_backends()
 
     if getattr(args, "seq_shards", 1) > 1:
         from orca_tpu.parallel.mesh import (
