@@ -20,12 +20,17 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Initialize the JAX distributed runtime (TPU pods auto-detect all
-    arguments; explicit values support manual GPU/CPU rigs)."""
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    arguments; explicit values support manual GPU/CPU rigs). Idempotent:
+    a second call (e.g. launcher after manual setup) is a no-op."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already initialized" not in str(e):
+            raise
 
 
 def make_multihost_mesh(seq_per_host: int = 1,

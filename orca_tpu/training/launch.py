@@ -103,6 +103,11 @@ class TrainJob:
     # (32,16,8,4,2,1); stage c: a prefix of (256,128,64,32))
     levels: Optional[Tuple[int, ...]] = None
     mesh: str = ""  # e.g. "data=4,seq=2"; "" = single device
+    # multi-host (DCN) run: initialize jax.distributed and build a
+    # host-major mesh with `seq` intra-host (ICI); the mesh spec's seq=M
+    # is then interpreted as seq-per-host. Each process samples only its
+    # local_batch_slice of the global batch.
+    multihost: bool = False
     packed_sequence: bool = True  # uint8 wire format through the loader
     # stage-b Encoder2 upward pass; False for leukemia-style models
     # (orca_leukemia.py:1499-1601) and HCTnoc (Encoder2b)
@@ -241,6 +246,20 @@ def build_sampler(job: TrainJob):
 
 
 def build_mesh(job: TrainJob):
+    if job.multihost:
+        # host-major mesh over all global devices: 'seq' stays on ICI
+        # within each host, 'data' spans hosts over DCN
+        from orca_tpu.parallel import multihost
+
+        multihost.initialize()
+        sizes = dict(
+            part.split("=")
+            for part in job.mesh.replace(" ", "").split(",")
+            if part
+        )
+        return multihost.make_multihost_mesh(
+            seq_per_host=int(sizes.get("seq", 1))
+        )
     if not job.mesh:
         return None
     from orca_tpu.parallel.mesh import make_mesh
@@ -258,13 +277,30 @@ def build_mesh(job: TrainJob):
     return make_mesh((int(sizes.get("data", 1)), int(sizes.get("seq", 1))))
 
 
+def _per_process(job: TrainJob, n: int) -> int:
+    """Divide a global count across processes on multi-host runs (each
+    process samples only its local slice; multihost.shard_batch assembles
+    the global array without gathering)."""
+    if not job.multihost:
+        return n
+    import jax
+
+    pc = jax.process_count()
+    if n % pc:
+        raise ValueError(
+            f"global batch/accumulate {n} must divide the "
+            f"{pc} processes of a multihost run"
+        )
+    return n // pc
+
+
 def _loop_config(job: TrainJob):
     from orca_tpu.training.loop import LoopConfig
 
     return LoopConfig(
         workdir=job.workdir,
         lr=job.lr,
-        batch_size=job.batch_size,
+        batch_size=_per_process(job, job.batch_size),
         checkpoint_every=job.checkpoint_every,
         validate_every=job.validate_every,
         val_batches=job.val_batches,
@@ -478,7 +514,8 @@ def _make_stage_b(job: TrainJob):
         ep = np.array([epss[lv] for lv in levels], np.float32)
     return StageBTrainer(
         cfg, _loop_config(job), sampler, trainable, frozen, nm, ep,
-        accumulate=job.accumulate, mesh=build_mesh(job),
+        accumulate=_per_process(job, job.accumulate),
+        mesh=build_mesh(job),
     )
 
 
@@ -526,7 +563,8 @@ def _make_stage_c(job: TrainJob):
     }
     return StageCTrainer(
         cfg, _loop_config(job), sampler, trainable, frozen,
-        accumulate=job.accumulate, mesh=build_mesh(job),
+        accumulate=_per_process(job, job.accumulate),
+        mesh=build_mesh(job),
     )
 
 

@@ -231,3 +231,33 @@ def test_load_resources_leukemia_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="leukemia"):
         load_resources(models=["leukemia"], model_dir=str(tmp_path),
                        resource_dir=str(tmp_path))
+
+
+def test_build_mesh_multihost(monkeypatch):
+    """multihost=True initializes jax.distributed and builds a host-major
+    mesh with seq-per-host from the mesh spec (single-process degenerate:
+    all devices on 'data' except the intra-host 'seq' axis)."""
+    from orca_tpu.parallel import multihost
+
+    inits = []
+    monkeypatch.setattr(multihost, "initialize",
+                        lambda *a, **k: inits.append(1))
+    mesh = build_mesh(TrainJob(stage="b", workdir="x", multihost=True,
+                               mesh="seq=2"))
+    assert inits == [1]
+    assert mesh.axis_names == ("data", "seq")
+    assert mesh.shape["seq"] == 2
+
+
+def test_per_process_division(monkeypatch):
+    from orca_tpu.training import launch
+
+    job = TrainJob(stage="a", workdir="x", multihost=True, batch_size=16)
+    import jax
+
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert launch._per_process(job, 16) == 4
+    with pytest.raises(ValueError, match="divide"):
+        launch._per_process(job, 6)
+    job2 = TrainJob(stage="a", workdir="x")  # single-host: untouched
+    assert launch._per_process(job2, 16) == 16
