@@ -179,19 +179,24 @@ def test_serve_loop_dispatch(monkeypatch, capsys):
         "# comment\n"
         "region chr1:1000-2000 /tmp/o1 --no-target\n"
         "dup chr1:1000-2000 /tmp/o2\n"
-        "frobnicate chr1:1-2 /tmp/o3\n"
+        "region chr1:1000-2000 /tmp/o3 --model-dir /other/models\n"
+        "frobnicate chr1:1-2 /tmp/o4\n"
         "quit\n"
     ))
     rc = cli.main(["serve"])
     assert rc == 0
     out = capsys.readouterr().out
     assert out.startswith("READY")
-    assert out.count("OK") == 2
+    assert out.count("OK") == 3
     assert "ERR" in out  # the frobnicate line
-    # resources loaded ONCE for the 32M family, reused on the second call
-    assert len(loads) == 1
-    assert [c[0] for c in calls] == ["region", "dup"]
+    # resources loaded ONCE per (family, dirs): first two commands share,
+    # the per-line --model-dir forces a second load (review finding: the
+    # cache must not serve the wrong checkpoints)
+    assert len(loads) == 2
+    assert loads[1]["model_dir"] == "/other/models"
+    assert [c[0] for c in calls] == ["region", "dup", "region"]
     assert calls[0][2] == calls[1][2] == "RES1"
+    assert calls[2][2] == "RES2"
 
 
 @pytest.mark.slow
