@@ -27,35 +27,56 @@ from orca_tpu.data.coarsegrain import adaptive_coarsegrain_any
 class CoolerContactMatrix:
     """Balanced contact-matrix retrieval from a cooler URI.
 
-    The cooler handle is opened lazily per process (fork-safe, mirroring the
+    The handle is opened lazily per process (fork-safe, mirroring the
     reference's unpicklable-init pattern, selene_utils2.py:555-563).
+
+    backend: 'auto' uses the `cooler` package when importable and falls
+    back to the in-repo h5py reader (orca_tpu.data.mcool.NativeCooler,
+    same balance semantics) otherwise; 'cooler'/'native' force one.
     """
 
     def __init__(self, input_path: str, shape: Tuple[int, int],
-                 cg: bool = False):
+                 cg: bool = False, backend: str = "auto"):
         self.input_path = input_path
         self.shape = shape
         self.cg = cg
+        self.backend = backend
         self._cooler = None
+        self._native = None
 
     def _handle(self):
-        if self._cooler is None:
-            import cooler  # host-side dependency, required only here
+        if self._cooler is not None or self._native is not None:
+            return
+        if self.backend in ("auto", "cooler"):
+            try:
+                import cooler  # optional fast path
 
-            self._cooler = cooler.Cooler(self.input_path)
-        return self._cooler
+                self._cooler = cooler.Cooler(self.input_path)
+                return
+            except ImportError:
+                if self.backend == "cooler":
+                    raise
+        from orca_tpu.data.mcool import NativeCooler
+
+        self._native = NativeCooler(self.input_path)
+
+    def _fetch(self, chrom, start, end, chrom2, start2, end2, balance):
+        self._handle()
+        if self._cooler is not None:
+            if chrom2 is None:
+                q1 = q2 = f"{chrom}:{start}-{end}"
+            else:
+                q1 = f"{chrom}:{start}-{end}"
+                q2 = f"{chrom2}:{start2}-{end2}"
+            return self._cooler.matrix(balance=balance).fetch(q1, q2)
+        return self._native.fetch(chrom, start, end, chrom2, start2, end2,
+                                  balance=balance)
 
     def get_feature_data(self, chrom, start, end, chrom2=None, start2=None,
                          end2=None):
-        c = self._handle()
-        if chrom2 is None:
-            q1 = q2 = f"{chrom}:{start}-{end}"
-        else:
-            q1 = f"{chrom}:{start}-{end}"
-            q2 = f"{chrom2}:{start2}-{end2}"
-        mat = c.matrix(balance=True).fetch(q1, q2)
+        mat = self._fetch(chrom, start, end, chrom2, start2, end2, True)
         if self.cg:
-            raw = c.matrix(balance=False).fetch(q1, q2)
+            raw = self._fetch(chrom, start, end, chrom2, start2, end2, False)
             mat = adaptive_coarsegrain_any(mat, raw)
         return mat.astype(np.float32)
 
