@@ -87,7 +87,60 @@ def restore_state(workdir: str, template: dict) -> Optional[dict]:
     if path is None:
         return None
     with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(path, template)
+        try:
+            return ckptr.restore(path, template)
+        except Exception:
+            # legacy checkpoints predate the "rng" entry
+            if "rng" in template:
+                t = {k: v for k, v in template.items() if k != "rng"}
+                return ckptr.restore(path, t)
+            raise
+
+
+def _host_state_path(workdir: str, step: int) -> str:
+    # per-process file on multi-host runs: each host's sampler stream is
+    # distinct (disjoint batch slices), so each process persists its own
+    suffix = "" if jax.process_count() == 1 else f".p{jax.process_index()}"
+    return os.path.join(
+        os.path.abspath(workdir), f"ckpt_{step}.host{suffix}.json"
+    )
+
+
+def save_host_state(workdir: str, step: int, payload: dict) -> None:
+    """JSON sidecar next to the orbax step dir for host-side state that is
+    not a pytree of arrays: plateau-scheduler counters and the sampler's
+    bit-generator state (arbitrary-precision ints — JSON handles them,
+    numpy does not). Written atomically."""
+    import json
+
+    path = _host_state_path(workdir, step)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
+def load_host_state(workdir: str, step: int) -> Optional[dict]:
+    import json
+
+    path = _host_state_path(workdir, step)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _sampler_rng_state(sampler) -> Optional[dict]:
+    bg = getattr(getattr(sampler, "rng", None), "bit_generator", None)
+    return bg.state if bg is not None else None
+
+
+def _restore_sampler_rng(sampler, state: Optional[dict]) -> None:
+    if state is None:
+        return
+    bg = getattr(getattr(sampler, "rng", None), "bit_generator", None)
+    if bg is not None and state.get("bit_generator") == type(bg).__name__:
+        bg.state = state
 
 
 def _mesh_encoder_fn(mesh, block_bp):
@@ -164,6 +217,7 @@ class StageATrainer:
             "opt_state": self.opt_state,
             "step": self.step,
             "lr": self.scheduler.lr,
+            "rng": self.rng,
         }
         if self.swa_state is not None:
             s["swa"] = self.swa_state
@@ -171,8 +225,18 @@ class StageATrainer:
 
     def save(self):
         save_state(self.loop.workdir, self.step, self._state())
+        save_host_state(self.loop.workdir, self.step, {
+            "sched": self.scheduler.state_dict(),
+            "sampler_rng": _sampler_rng_state(self.sampler),
+        })
 
     def try_restore(self) -> bool:
+        """Step-identical resume: params/opt/step + the jax rng stream, the
+        plateau scheduler's counters and the sampler's bit-generator state
+        are all restored, so a killed-and-resumed run replays the exact
+        losses of an unkilled one (synchronous sampling; prefetch-worker
+        draw order is not replayed). Beats the reference, which reloads
+        only model+optimizer (train_h1esc_a.py:106-124)."""
         restored = restore_state(self.loop.workdir, self._state())
         if restored is None:
             return False
@@ -180,8 +244,14 @@ class StageATrainer:
         self.opt_state = restored["opt_state"]
         self.step = int(restored["step"])
         self.scheduler.lr = float(restored["lr"])
+        if "rng" in restored:
+            self.rng = jnp.asarray(restored["rng"])
         if self.swa_state is not None and "swa" in restored:
             self.swa_state = restored["swa"]
+        host = load_host_state(self.loop.workdir, self.step)
+        if host:
+            self.scheduler.load_state_dict(host["sched"])
+            _restore_sampler_rng(self.sampler, host.get("sampler_rng"))
         return True
 
     # -- training --------------------------------------------------------
@@ -357,15 +427,22 @@ class StageBTrainer:
             "opt_state": self.opt_state,
             "step": self.step,
             "lr": self.scheduler.lr,
+            "rng": self.rng,
         }
 
     def save(self):
         save_state(self.loop.workdir, self.step, self._state())
+        save_host_state(self.loop.workdir, self.step, {
+            "sched": self.scheduler.state_dict(),
+            "sampler_rng": _sampler_rng_state(self.sampler),
+        })
 
     def try_restore(self) -> bool:
-        """Resume from the latest orbax checkpoint in workdir (the
-        reference's equivalent is the try/except reload at script start,
-        train_h1esc_b.py:106-130)."""
+        """Step-identical resume from the latest orbax checkpoint in
+        workdir (the reference's equivalent is the try/except reload at
+        script start, train_h1esc_b.py:106-130): restores the jax rng,
+        plateau-scheduler counters and sampler bit-generator state too —
+        see StageATrainer.try_restore."""
         restored = restore_state(self.loop.workdir, self._state())
         if restored is None:
             return False
@@ -373,6 +450,12 @@ class StageBTrainer:
         self.opt_state = restored["opt_state"]
         self.step = int(restored["step"])
         self.scheduler.lr = float(restored["lr"])
+        if "rng" in restored:
+            self.rng = jnp.asarray(restored["rng"])
+        host = load_host_state(self.loop.workdir, self.step)
+        if host:
+            self.scheduler.load_state_dict(host["sched"])
+            _restore_sampler_rng(self.sampler, host.get("sampler_rng"))
         return True
 
     # -- validation ------------------------------------------------------

@@ -52,3 +52,15 @@ class ReduceLROnPlateau:
                 self.lr = max(self.lr * self.factor, self.min_lr)
                 self.num_bad = 0
         return self.lr
+
+    def state_dict(self) -> dict:
+        """Full scheduler state — persisting only `lr` would reset the
+        plateau counters on resume and let a plateau decision double-fire
+        (the reference reloads optimizer state, train_h1esc_a.py:119-124;
+        step-identical resume needs best/num_bad too)."""
+        return {"lr": self.lr, "best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, s: dict) -> None:
+        self.lr = float(s["lr"])
+        self.best = None if s.get("best") is None else float(s["best"])
+        self.num_bad = int(s.get("num_bad", 0))

@@ -19,6 +19,13 @@ class MetricsLogger:
         self._t0 = time.time()
 
     def log(self, step: int, **metrics):
+        # Multi-process runs: only process 0 emits (every trainer calls
+        # log() on every process — unguarded, each JSONL row would appear
+        # process_count times and stdout would interleave).
+        import jax
+
+        if jax.process_index() != 0:
+            return None
         rec = {"step": step, "elapsed_s": round(time.time() - self._t0, 1)}
         rec.update(
             {k: (float(v) if hasattr(v, "__float__") else v)

@@ -69,6 +69,53 @@ def test_stage_a_trainer_runs_and_checkpoints(tmp_path):
         np.testing.assert_allclose(w1, w2)
 
 
+def test_stage_a_kill_and_resume_step_identical(tmp_path):
+    """A killed-and-resumed run must replay the exact losses of an unkilled
+    one: rng stream, plateau counters and the sampler's bit-generator state
+    all persist (the reference reloads only model+optimizer,
+    train_h1esc_a.py:106-124 — resume there diverges)."""
+    cfg = StageAConfig(num_1d=None, crop=10, target_factor=4,
+                       seq_len=40_000, remat=False)
+    normmat_r = np.full((10, 10), 0.1, np.float32)
+
+    def make(workdir, checkpoint_every):
+        loop = LoopConfig(
+            workdir=workdir, lr=0.002, batch_size=2,
+            checkpoint_every=checkpoint_every, validate_every=100,
+            val_batches=1,
+        )
+        return StageATrainer(cfg, loop, _make_sampler(), normmat_r, eps=0.1)
+
+    def step_losses(tr, upto):
+        losses = []
+        while tr.step < upto:
+            m = tr.run(max_steps=tr.step + 1)
+            losses.append(float(m["loss"]))
+        return losses
+
+    # unkilled reference run: 5 steps straight through
+    ref = make(str(tmp_path / "ref"), checkpoint_every=100)
+    ref_losses = step_losses(ref, 5)
+
+    # killed run: same config/seed, checkpointed at step 2, then "killed"
+    killed = make(str(tmp_path / "kill"), checkpoint_every=2)
+    killed_losses = step_losses(killed, 2)
+    # pollute the scheduler to verify counters round-trip
+    killed.scheduler.step(0.5)
+    killed.scheduler.step(0.4)
+    killed.save()
+    np.testing.assert_allclose(killed_losses, ref_losses[:2], rtol=1e-6)
+    del killed
+
+    resumed = make(str(tmp_path / "kill"), checkpoint_every=100)
+    assert resumed.try_restore()
+    assert resumed.step == 2
+    assert resumed.scheduler.best == 0.5
+    assert resumed.scheduler.num_bad == 1
+    resumed_losses = step_losses(resumed, 5)
+    np.testing.assert_allclose(resumed_losses, ref_losses[2:], rtol=1e-6)
+
+
 def test_swa_bn_refresh_updates_running_stats():
     cfg = StageAConfig(num_1d=None, crop=10, target_factor=4,
                        seq_len=40_000, remat=False)
