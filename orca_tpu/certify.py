@@ -521,6 +521,99 @@ def certify_256m(
     return report
 
 
+def certify_synthetic_32m(
+    reference_path: str,
+    seed: int = 0,
+    atol: float = 2e-3,
+    geometry=None,
+    windows: Optional[Sequence[float]] = None,
+    dtype: str = "float32",
+) -> Dict:
+    """FULL-GEOMETRY parity on synthetic (random-init) weights — no Zenodo
+    download needed. Builds matching torch reference modules and a
+    converted+folded bundle, then compares the production 32Mb cascade
+    (8000 bins, crop 250, dilation-64 decoder blocks, production
+    block-boundary layout — shapes the scaled-geometry tests never reach)
+    against the reference genomepredict loop (orca_predict.py:316-523).
+    The jax side runs the real serving path (folded BN -> fused Pallas
+    kernels on TPU); the torch oracle runs on host CPU (~544s per window
+    at full geometry, BASELINE_TORCH.json).
+
+    windows: mpos fractions of the window (default one centered + one
+    off-center zoom path).
+    """
+    import torch
+
+    import jax.numpy as jnp
+
+    from orca_tpu.models import convert
+    from orca_tpu.models.zoo import ModelBundle, _random_normmats, fold_bundle
+    from orca_tpu.predict.multiscale import GEOM_32M, _cascade_32mb
+
+    if reference_path not in sys.path:
+        sys.path.insert(0, reference_path)
+    import orca_modules as ref
+
+    geom = geometry or GEOM_32M
+    levels = (32, 16, 8, 4, 2, 1)
+    torch.manual_seed(seed)
+    net0 = ref.Encoder().eval()
+    net = ref.Encoder2().eval()
+    denets = {lv: ref.Decoder(upsample_mode="bilinear").eval()
+              for lv in levels}
+    denet_1pt = ref.Decoder_1m().eval()
+    normmats, epss = _random_normmats(nbins=geom.bins, crop=geom.crop)
+    bundle = fold_bundle(ModelBundle(
+        name="synthetic",
+        encoder=convert.convert_encoder_tower(net0.state_dict()),
+        pyramid=convert.convert_pyramid(net.state_dict(), 5, True),
+        decoders={
+            lv: convert.convert_decoder(d.state_dict())
+            for lv, d in denets.items()
+        },
+        decoder_1pt=convert.convert_decoder1m(denet_1pt.state_dict()),
+        normmats=normmats,
+        epss=epss,
+    ))
+    bundle = _cast_bundle(bundle, dtype)
+
+    rng = np.random.RandomState(seed + 1)
+    seq = rng.rand(1, geom.window_bp, 4).astype(np.float32)
+    wpos = geom.window_bp // 2
+    log_nm = jnp.asarray(bundle.log_normmats())
+    report = {}
+    ok = True
+    for frac in (windows or (0.5, 0.13)):
+        mpos = int(geom.window_bp * frac)
+        got, got_starts = _cascade_32mb(
+            bundle, geom, jnp.asarray(seq), jnp.float32(mpos),
+            jnp.float32(wpos), log_nm,
+        )
+        got = [np.asarray(g[0, :, :, 0], np.float32) for g in got]
+        want, want_starts = torch_cascade_32m(
+            (net0, net, denets, denet_1pt, normmats), seq, mpos, wpos, geom,
+        )
+        diffs = {}
+        for j, level in enumerate(levels):
+            d = float(np.max(np.abs(got[j] - want[j])))
+            diffs[level] = d
+            ok = ok and d <= atol
+        starts_ok = list(np.asarray(got_starts)) == list(want_starts)
+        ok = ok and starts_ok
+        report[f"mpos_frac_{frac}"] = {
+            "max_abs_diff": diffs, "starts_equal": starts_ok,
+        }
+    report["geometry"] = {
+        "window_bp": geom.window_bp, "bin_bp": geom.bin_bp,
+        "crop": geom.crop,
+    }
+    report["atol"] = atol
+    report["dtype"] = dtype
+    report["seed"] = seed
+    report["pass"] = ok
+    return report
+
+
 CERTIFY_FAMILIES = {
     "32m": certify_32m,
     "1m": certify_1m,

@@ -141,6 +141,9 @@ def main(argv=None):
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="bfloat16 = serving-precision tolerance report")
+    p.add_argument("--synthetic", action="store_true",
+                   help="full-geometry parity on random-init weights "
+                        "(no released checkpoints/resources needed)")
     p.add_argument("--out", default=None, help="write JSON report here")
 
     args = parser.parse_args(argv)
@@ -150,6 +153,19 @@ def main(argv=None):
 
         from orca_tpu.certify import CERTIFY_FAMILIES
         from orca_tpu.utils.config import get_config
+
+        if args.synthetic:
+            from orca_tpu.certify import certify_synthetic_32m
+
+            report = certify_synthetic_32m(
+                args.reference, atol=args.atol, dtype=args.dtype,
+            )
+            text = json.dumps(report, indent=2)
+            if args.out:
+                with open(args.out, "w") as f:
+                    f.write(text)
+            print(text)
+            return 0 if report["pass"] else 1
 
         cfg = get_config()
         report = {}

@@ -154,3 +154,17 @@ def test_certify_256m_scaled(tmp_path):
     diffs = report["h1esc"]["chr8:1000000"]
     assert set(diffs) == {256, 128, 64, 32}
     assert all(v <= 2e-3 for v in diffs.values()), diffs
+
+
+def test_certify_synthetic_scaled():
+    """certify_synthetic_32m flow at scaled geometry (the production run
+    uses GEOM_32M on the accelerator; same code path)."""
+    from orca_tpu.certify import certify_synthetic_32m
+
+    report = certify_synthetic_32m(
+        REFERENCE_DIR, seed=3, geometry=GEOM, windows=(0.5,),
+    )
+    assert report["pass"], report
+    diffs = report["mpos_frac_0.5"]["max_abs_diff"]
+    assert set(diffs) == {32, 16, 8, 4, 2, 1}
+    assert report["mpos_frac_0.5"]["starts_equal"]
