@@ -188,10 +188,14 @@ def apply_encoder_stages_pallas(
 ) -> jax.Array:
     """apply_encoder_stages_masked with each stage's conv chain fused into
     one Pallas TPU kernel (orca_tpu.ops.pallas.conv1d): convs, biases,
-    ReLUs, residual add and position-exact boundary masking run in VMEM per
-    f=2 space-to-depth packed tile. Same semantics (per-layer zero padding
-    at [valid_start_bp, valid_end_bp)). The tiny first conv (4ch contract)
-    and the maxpools stay in XLA on dense layouts. Inference-mode only."""
+    ReLUs, residual add, position-exact boundary masking AND the next
+    stage's pre-maxpool run in VMEM per f=2 space-to-depth packed tile.
+    Activations stay packed across all 7 stages — each stage boundary is a
+    single pooled-size HBM write, with no XLA pool / pack / unpack glue in
+    between (the glue measured ~4x the matmul time; docs/ARCHITECTURE.md).
+    Same semantics (per-layer zero padding at [valid_start_bp,
+    valid_end_bp)). The tiny first conv (4ch contract) stays in XLA.
+    Inference-mode only."""
     from orca_tpu.ops import nn_ops
     from orca_tpu.ops.pallas.conv1d import (
         fused_conv_chain_packed,
@@ -200,21 +204,36 @@ def apply_encoder_stages_pallas(
     )
 
     spec = encoder_tower_spec()
-    n = x.shape[0]
+    n, length, _ = x.shape
     vs_bp = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(valid_start_bp)), (n,))
     ve_bp = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(valid_end_bp)), (n,))
 
+    pools = [s[2] for s in STAGES]  # per-stage PRE-pool (0,4,4,5,5,5,2)
     out = x
+    pk = None  # f=2 packed activation between stages
     res = 1
+    fused_pool = False  # this stage's pre-pool already fused upstream
     nstages = len(spec["lconv"])
     for i, (lb, lp, cp) in enumerate(
         zip(spec["lconv"], params["lconv"], params["conv"])
     ):
         if lb.pool:
-            out = nn_ops.maxpool1d(out, lb.pool)
             res *= lb.pool
+            if not fused_pool:
+                pk = pack2(nn_ops.maxpool1d(unpack2(pk), lb.pool))
         vs = vs_bp // res
         ve = ve_bp // res
+        # Fuse the next stage's pre-pool into this kernel's epilogue when
+        # the pooled row count stays whole (positions divisible by 2*pool
+        # — true for every production geometry; fall back to an XLA pool
+        # between stages otherwise).
+        next_pool = pools[i + 1] if i + 1 < nstages else 0
+        positions = length // res
+        out_pool = (
+            next_pool
+            if next_pool > 1 and positions % (2 * next_pool) == 0
+            else 1
+        )
         if i == 0:
             # one-hot 4ch -> 64ch conv, run in XLA as an f=16 space-to-depth
             # conv (k=3, 64 -> 1024 lanes): a position-major (L, 4) conv
@@ -231,7 +250,7 @@ def apply_encoder_stages_pallas(
             idx = jnp.arange(a.shape[1])
             m = (idx[None, :] >= vs[:, None]) & (idx[None, :] < ve[:, None])
             a = a * m[:, :, None].astype(a.dtype)
-            xin = a
+            pk_in = pack2(a)
             chain = (
                 (lp[1]["w"], lp[1]["b"]),
                 (cp[0]["w"], cp[0]["b"]),
@@ -240,7 +259,7 @@ def apply_encoder_stages_pallas(
             relus = (False, True, True)
             res_idx = 0
         else:
-            xin = out
+            pk_in = pk
             chain = (
                 (lp[0]["w"], lp[0]["b"]),
                 (lp[1]["w"], lp[1]["b"]),
@@ -251,12 +270,13 @@ def apply_encoder_stages_pallas(
             res_idx = 1
         if i == nstages - 1:
             res_idx = -1  # final stage returns the conv-pair output alone
-        outp = fused_conv_chain_packed(
-            pack2(xin), chain, vs, ve,
-            relus=relus, residual_idx=res_idx, interpret=interpret,
+        pk = fused_conv_chain_packed(
+            pk_in, chain, vs, ve,
+            relus=relus, residual_idx=res_idx, out_pool=out_pool,
+            interpret=interpret,
         )
-        out = unpack2(outp)
-    return out
+        fused_pool = out_pool > 1
+    return unpack2(pk)
 
 
 def pallas_encoder_enabled() -> bool:

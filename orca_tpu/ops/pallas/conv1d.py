@@ -78,6 +78,43 @@ def s2d_conv_weights(w: jax.Array, b: jax.Array, f: int = 2):
     return wp, bp
 
 
+def _packed_maxpool_halves(buf, p):
+    """Max-pool an f=2 packed (rows, 2C) buffer by p positions, staying
+    packed: returns (even, odd), each (rows/p, C). Output row j holds
+    pooled positions 2j (even) and 2j+1 (odd) = max over fine positions
+    [2pj, 2pj+p) / [2pj+p, 2pj+2p); fine position 2k sits in row k lanes
+    [:C], 2k+1 in lanes [C:]. The caller stores the halves into the output
+    ref's lane ranges (a lane-concat of the two differently-laid-out
+    vectors is not lowerable by Mosaic)."""
+    rows, c2 = buf.shape
+    c = c2 // 2
+    m = rows // p
+    a = buf.reshape(m, p, c2)
+    if p % 2 == 0:
+        # rowwise half-max first: position pair {2k, 2k+1} -> one row
+        mh = jnp.maximum(a[..., :c], a[..., c:])  # (m, p, c)
+        even = mh[:, 0, :]
+        for k in range(1, p // 2):
+            even = jnp.maximum(even, mh[:, k, :])
+        odd = mh[:, p // 2, :]
+        for k in range(p // 2 + 1, p):
+            odd = jnp.maximum(odd, mh[:, k, :])
+    else:
+        h0, h1 = a[..., :c], a[..., c:]
+        ce, fl = (p + 1) // 2, p // 2
+        even = h0[:, 0, :]
+        for k in range(1, ce):
+            even = jnp.maximum(even, h0[:, k, :])
+        for k in range(fl):
+            even = jnp.maximum(even, h1[:, k, :])
+        odd = h1[:, fl, :]
+        for k in range(fl + 1, p):
+            odd = jnp.maximum(odd, h1[:, k, :])
+        for k in range(ce, p):
+            odd = jnp.maximum(odd, h0[:, k, :])
+    return even, odd
+
+
 def _chain_kernel(
     vs_ref,
     ve_ref,
@@ -91,6 +128,7 @@ def _chain_kernel(
     residual_idx: int,
     couts: tuple,
     out_dtype,
+    out_pool: int = 1,
 ):
     wrefs = rest[: 2 * n_convs]
     out_ref = rest[2 * n_convs]
@@ -172,26 +210,40 @@ def _chain_kernel(
     extra = HALO_ROWS - 2 * n_convs
     if extra:
         buf = buf[extra : extra + tile]
-    out_ref[0] = (buf + lout) if lout is not None else buf
+    out = (buf + lout) if lout is not None else buf
+    if out_pool > 1:
+        # Fuse the NEXT stage's pre-maxpool into this kernel's epilogue:
+        # the stage output hits HBM already pooled (p x smaller write) and
+        # the inter-stage XLA pool round trip disappears. Pool windows
+        # never straddle the [vs, ve) boundary (both are multiples of the
+        # pool at every stage resolution), so pooling the masked output
+        # keeps the invalid region exactly zero.
+        even, odd = _packed_maxpool_halves(out, out_pool)
+        c = even.shape[-1]
+        out_ref[0, :, :c] = even
+        out_ref[0, :, c:] = odd
+    else:
+        out_ref[0] = out
 
 
-def _plan_tiles(rows: int, tile: int = 0, max_tile: int = 0):
+def _plan_tiles(rows: int, tile: int = 0, max_tile: int = 0, align: int = _HB):
     """(tile_rows, padded_rows): fixed power-of-two tiles with the array
     padded up to a whole number of them. Production stage lengths (e.g.
     125000 packed rows at stage 2 of a 1 Mb window) often have no
     sublane-aligned divisor <= a VMEM-sized tile, so tiling by divisors
     would fall back to one enormous tile; padding costs <2% rows and the
-    boundary masking already zeroes pad rows (position >= ve)."""
+    boundary masking already zeroes pad rows (position >= ve).
+    `align`: tile-row alignment (sublane tile x fused out-pool)."""
     if not tile:
         tile = min(max_tile or _MAX_TILE, rows)
-    tile = max(_HB, (tile + _HB - 1) // _HB * _HB)
+    tile = max(align, (tile + align - 1) // align * align)
     padded = (rows + tile - 1) // tile * tile
     return tile, padded
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("relus", "residual_idx", "tile", "interpret"),
+    static_argnames=("relus", "residual_idx", "tile", "out_pool", "interpret"),
 )
 def fused_conv_chain_packed(
     xpk: jax.Array,  # (R, rows, 2*Cin) f=2 packed activation
@@ -202,14 +254,18 @@ def fused_conv_chain_packed(
     relus: tuple,  # per conv
     residual_idx: int = -1,  # chain output += output of this conv (or -1)
     tile: int = 0,
+    out_pool: int = 1,  # fused epilogue maxpool (the NEXT stage's pre-pool)
     interpret: bool = False,
 ):
     """Run a chain of k=9 convs (+bias+ReLU+masking, optional residual) as
     one fused kernel over f=2 packed tiles. Returns the packed chain output
-    (R, rows, 2*Cout_last)."""
+    (R, rows/out_pool, 2*Cout_last) — pooled in VMEM when out_pool > 1, so
+    the stage boundary costs one pooled-size HBM write instead of a full
+    write + XLA-maxpool round trip."""
     r, rows, _ = xpk.shape
     n_convs = len(weights)
     assert len(relus) == n_convs
+    assert rows % out_pool == 0, (rows, out_pool)
     dtype = xpk.dtype
     packed = [s2d_conv_weights(w, b) for w, b in weights]
     cout2 = packed[-1][0].shape[-1]
@@ -217,7 +273,8 @@ def fused_conv_chain_packed(
     # fp32 live buffers are 2x bf16; halve the tile to stay inside the
     # 100MB scoped-VMEM budget at 256-lane stages.
     tile, padded = _plan_tiles(
-        rows, tile, max_tile=_MAX_TILE // (2 if dtype == jnp.float32 else 1)
+        rows, tile, max_tile=_MAX_TILE // (2 if dtype == jnp.float32 else 1),
+        align=_HB * out_pool,
     )
     if padded != rows:  # masking keeps pad rows zero (position >= ve)
         xpk = jnp.pad(xpk, ((0, 0), (0, padded - rows), (0, 0)))
@@ -268,7 +325,7 @@ def fused_conv_chain_packed(
         grid=(r, ntiles),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, tile, cout2), lambda i, j, *_: (i, j, 0),
+            (1, tile // out_pool, cout2), lambda i, j, *_: (i, j, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -280,11 +337,12 @@ def fused_conv_chain_packed(
         residual_idx=residual_idx,
         couts=tuple(p[0].shape[-1] // 2 for p in packed),
         out_dtype=dtype,
+        out_pool=out_pool,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((r, rows, cout2), dtype),
+        out_shape=jax.ShapeDtypeStruct((r, rows // out_pool, cout2), dtype),
         # ~23MB scoped VMEM at fp32/192-lane stages with 2048-row tiles —
         # above Mosaic's conservative 16MB default, well under the 128MB
         # physical VMEM; output blocks are disjoint per grid step.
@@ -294,7 +352,8 @@ def fused_conv_chain_packed(
         ),
         interpret=interpret,
     )(vs.astype(jnp.int32), ve.astype(jnp.int32), xpk, xpk, xpk, *operands)
-    return out[:, :orig_rows] if orig_rows != rows else out
+    out_rows = orig_rows // out_pool
+    return out[:, :out_rows] if out_rows != rows // out_pool else out
 
 
 def pack2(x: jax.Array) -> jax.Array:

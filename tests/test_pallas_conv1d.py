@@ -156,6 +156,37 @@ def test_fused_chain_untileable_rows():
     )
 
 
+@pytest.mark.parametrize("pool", [2, 4, 5])
+def test_fused_chain_out_pool(pool):
+    """out_pool fuses the next stage's pre-maxpool into the kernel epilogue:
+    fused == (chain without pool) -> XLA maxpool, including masked edges."""
+    rows = 80  # 160 positions, divisible by 2*pool for pool in {2,4,5}
+    x = _rng(2, 2 * rows, 16)
+    weights = tuple(
+        (jnp.array(_rng(9, 16, 16)), jnp.array(_rng(16))) for _ in range(4)
+    )
+    vs = jnp.array([0, 2 * pool])
+    ve = jnp.array([2 * rows, 2 * rows - 4 * pool])
+    kw = dict(relus=(False, False, True, True), residual_idx=1, interpret=True)
+    plain = fused_conv_chain_packed(pack2(jnp.array(x)), weights, vs, ve, **kw)
+    ref = pack2(nn_ops.maxpool1d(unpack2(plain), pool))
+    fused = fused_conv_chain_packed(
+        pack2(jnp.array(x)), weights, vs, ve, out_pool=pool, **kw
+    )
+    assert fused.shape == (2, rows // pool, 32)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), atol=1e-4, rtol=1e-5
+    )
+    # multi-tile grid agrees too (tile must be a multiple of 16*pool)
+    tiled = fused_conv_chain_packed(
+        pack2(jnp.array(x)), weights, vs, ve, out_pool=pool, tile=16 * pool,
+        **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(fused), atol=1e-4, rtol=1e-5
+    )
+
+
 def test_pallas_encoder_stages_match_lax():
     """Full 7-stage Pallas tower (interpret) == apply_encoder_stages."""
     params = _inference_tower()
