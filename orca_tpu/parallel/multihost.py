@@ -58,31 +58,54 @@ def local_batch_slice(global_batch: int) -> slice:
     return slice(start, start + per)
 
 
-def shard_batch(mesh: Mesh, *arrays, batch_axis: str = "data"):
-    """Place per-host numpy batches as global arrays sharded over
-    `batch_axis`.
+def shard_batch(mesh: Mesh, *arrays, batch_axis: str = "data",
+                global_batch: bool = True):
+    """Place numpy batches as global arrays sharded over `batch_axis`.
 
-    Each process passes only ITS slice of the global batch (see
-    local_batch_slice); jax assembles the global sharded array without
-    gathering data onto any single host. Single-process runs degenerate to
-    an ordinary device_put with a batch sharding. Replicated axes (all but
-    the first) stay unsharded.
+    global_batch=True (the trainer path): every process passes the SAME
+    full global batch (samplers are identically seeded across hosts, so
+    their draws agree); each process keeps only its local_batch_slice and
+    jax assembles the global sharded array without gathering data onto any
+    single host. This makes an N-process run bit-identical to the
+    single-process run on the same seed — the multi-host analogue of the
+    reference's single-process DataParallel split (train_h1esc_a.py:102).
+
+    global_batch=False: each process passes only ITS precomputed slice.
+    Single-process runs degenerate to an ordinary device_put with a batch
+    sharding. Replicated axes (all but the first) stay unsharded.
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    pc = jax.process_count()
     out = []
     for arr in arrays:
         arr = np.asarray(arr)
         spec = P(batch_axis, *([None] * (arr.ndim - 1)))
         sharding = NamedSharding(mesh, spec)
-        if jax.process_count() == 1:
+        if pc == 1:
             out.append(jax.device_put(arr, sharding))
         else:
+            local = arr[local_batch_slice(arr.shape[0])] if global_batch \
+                else arr
             out.append(
-                jax.make_array_from_process_local_data(sharding, arr)
+                jax.make_array_from_process_local_data(sharding, local)
             )
     return out[0] if len(out) == 1 else tuple(out)
 
 
 def is_primary() -> bool:
     return jax.process_index() == 0
+
+
+def fetch_global(array) -> np.ndarray:
+    """Bring a (possibly cross-process data-sharded) array to the host.
+
+    np.asarray on an array spanning non-addressable devices raises on
+    multi-process runs; process_allgather assembles the global value on
+    every host (validation metrics are small). Single-process arrays take
+    the plain fetch."""
+    if jax.process_count() == 1:
+        return np.asarray(array)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(array, tiled=True))

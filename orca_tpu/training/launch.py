@@ -105,8 +105,10 @@ class TrainJob:
     mesh: str = ""  # e.g. "data=4,seq=2"; "" = single device
     # multi-host (DCN) run: initialize jax.distributed and build a
     # host-major mesh with `seq` intra-host (ICI); the mesh spec's seq=M
-    # is then interpreted as seq-per-host. Each process samples only its
-    # local_batch_slice of the global batch.
+    # is then interpreted as seq-per-host. Samplers stay identically
+    # seeded on every process: each draws the same GLOBAL batch and
+    # multihost.shard_batch feeds only the local slice, so an N-process
+    # run is bit-identical to the single-process run on the same seed.
     multihost: bool = False
     packed_sequence: bool = True  # uint8 wire format through the loader
     # stage-b Encoder2 upward pass; False for leukemia-style models
@@ -278,9 +280,10 @@ def build_mesh(job: TrainJob):
 
 
 def _per_process(job: TrainJob, n: int) -> int:
-    """Divide a global count across processes on multi-host runs (each
-    process samples only its local slice; multihost.shard_batch assembles
-    the global array without gathering)."""
+    """Validate a global batch/accumulate count against the process count
+    of a multihost run. The count stays GLOBAL: every process samples the
+    same global batch (identical sampler seeds) and multihost.shard_batch
+    keeps only the local slice — divisibility is what the slice needs."""
     if not job.multihost:
         return n
     import jax
@@ -291,7 +294,7 @@ def _per_process(job: TrainJob, n: int) -> int:
             f"global batch/accumulate {n} must divide the "
             f"{pc} processes of a multihost run"
         )
-    return n // pc
+    return n
 
 
 def _loop_config(job: TrainJob):

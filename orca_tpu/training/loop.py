@@ -217,7 +217,9 @@ class StageATrainer:
             "opt_state": self.opt_state,
             "step": self.step,
             "lr": self.scheduler.lr,
-            "rng": self.rng,
+            # numpy, not jax: a single-device jax array is host-local and
+            # unserializable by orbax on multi-process runs
+            "rng": np.asarray(self.rng),
         }
         if self.swa_state is not None:
             s["swa"] = self.swa_state
@@ -322,7 +324,11 @@ class StageATrainer:
                 params, self.cfg, seq_d, target_d, target_1d_d,
                 self.normmat_r, self.eps,
             )
-            corrs.append(np.asarray(corr))
+            # per-sample corr is data-sharded: on multi-process runs a
+            # plain np.asarray would touch non-addressable shards
+            from orca_tpu.parallel.multihost import fetch_global
+
+            corrs.append(fetch_global(corr))
         return float(np.nanmean(np.concatenate(corrs)))
 
 
@@ -427,7 +433,7 @@ class StageBTrainer:
             "opt_state": self.opt_state,
             "step": self.step,
             "lr": self.scheduler.lr,
-            "rng": self.rng,
+            "rng": np.asarray(self.rng),  # see StageATrainer._state
         }
 
     def save(self):
@@ -473,9 +479,11 @@ class StageBTrainer:
                 self.trainable, self.frozen, seq_d, target_d,
                 self.normmats, self.epss,
             )
+            from orca_tpu.parallel.multihost import fetch_global
+
             for lv in self.cfg.levels:
-                level_corrs[lv].append(np.asarray(corrs[lv]))
-                level_mses[lv].append(float(mses[lv]))
+                level_corrs[lv].append(fetch_global(corrs[lv]))
+                level_mses[lv].append(float(fetch_global(mses[lv])))
         metrics = {}
         for lv in self.cfg.levels:
             metrics[f"val_pearson_{lv}"] = float(
@@ -558,9 +566,11 @@ class StageCTrainer(StageBTrainer):
             mses, corrs = self.eval_fn(
                 self.trainable, self.frozen, seq_d, target_d, normmat_d,
             )
+            from orca_tpu.parallel.multihost import fetch_global
+
             for lv in self.cfg.levels:
-                level_corrs[lv].append(np.asarray(corrs[lv]))
-                level_mses[lv].append(float(mses[lv]))
+                level_corrs[lv].append(fetch_global(corrs[lv]))
+                level_mses[lv].append(float(fetch_global(mses[lv])))
         metrics = {}
         for lv in self.cfg.levels:
             metrics[f"val_pearson_{lv}"] = float(
