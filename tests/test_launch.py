@@ -261,7 +261,10 @@ def test_per_process_division(monkeypatch):
     import jax
 
     monkeypatch.setattr(jax, "process_count", lambda: 4)
-    assert launch._per_process(job, 16) == 4
+    # batch counts stay GLOBAL (every process samples the same global
+    # batch; shard_batch keeps the local slice) — only divisibility is
+    # validated here
+    assert launch._per_process(job, 16) == 16
     with pytest.raises(ValueError, match="divide"):
         launch._per_process(job, 6)
     job2 = TrainJob(stage="a", workdir="x")  # single-host: untouched
