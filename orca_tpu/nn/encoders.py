@@ -235,29 +235,29 @@ def apply_encoder_stages_pallas(
             else 1
         )
         if i == 0:
-            # one-hot 4ch -> 64ch conv, run in XLA as an f=16 space-to-depth
-            # conv (k=3, 64 -> 1024 lanes): a position-major (L, 4) conv
-            # operand would be lane-padded 32x in HBM. ~5x the dense conv's
-            # FLOPs but still a small share of the stage; output reshapes
-            # straight into the f=2 packed layout.
-            from orca_tpu.ops.pallas.conv1d import s2d_conv_weights
+            # one-hot 4ch -> 64ch conv: fused INTO the stage-0 chain
+            # kernel as a 3-tap f=16 packed conv whose output reshapes
+            # in-VMEM to the f=2 chain layout — the 64ch stage-0 input
+            # activation never exists in HBM (as an XLA conv + mask it
+            # was 41% of the tower's wall-clock). The (L, 4) operand is
+            # read f=16-packed (64 lanes): a position-major layout would
+            # be lane-padded 32x.
+            from orca_tpu.ops.pallas.conv1d import fused_first_stage_packed
 
-            w16, b16 = s2d_conv_weights(lp[0]["w"], lp[0]["b"], f=16)
-            l_len = out.shape[1]
-            a = nn_ops.conv1d(
-                out.reshape(n, l_len // 16, 64), w16, b16
-            ).reshape(n, l_len, 64)
-            idx = jnp.arange(a.shape[1])
-            m = (idx[None, :] >= vs[:, None]) & (idx[None, :] < ve[:, None])
-            a = a * m[:, :, None].astype(a.dtype)
-            pk_in = pack2(a)
             chain = (
                 (lp[1]["w"], lp[1]["b"]),
                 (cp[0]["w"], cp[0]["b"]),
                 (cp[1]["w"], cp[1]["b"]),
             )
-            relus = (False, True, True)
-            res_idx = 0
+            pk = fused_first_stage_packed(
+                out.reshape(n, out.shape[1] // 16, 64),
+                (lp[0]["w"], lp[0]["b"]),
+                chain, vs, ve,
+                relus=(False, True, True), residual_idx=0,
+                out_pool=out_pool, interpret=interpret,
+            )
+            fused_pool = out_pool > 1
+            continue
         else:
             pk_in = pk
             chain = (

@@ -129,7 +129,11 @@ def _chain_kernel(
     couts: tuple,
     out_dtype,
     out_pool: int = 1,
+    first_conv: bool = False,
 ):
+    if first_conv:
+        w0_ref, b0_ref = rest[0], rest[1]
+        rest = rest[2:]
     wrefs = rest[: 2 * n_convs]
     out_ref = rest[2 * n_convs]
     r = pl.program_id(0)
@@ -146,7 +150,7 @@ def _chain_kernel(
         else jax.lax.Precision.DEFAULT
     )
 
-    cin2 = xm_ref.shape[-1]
+    cin2 = (w0_ref.shape[-1] // 8) if first_conv else xm_ref.shape[-1]
     full = tile + 2 * HALO_ROWS
 
     # Hoisted positional-validity masks: one boolean map per distinct
@@ -165,17 +169,46 @@ def _chain_kernel(
         `off` is arr's first row relative to xfull[0] (static)."""
         return jnp.where(valid[c][off : off + arr.shape[0]], arr, 0)
 
-    # Stitch main tile + 8-row halos from the clamped neighbor blocks; at the
-    # array edges the clamped blocks alias wrong rows, but those rows lie
-    # outside [vs, ve) only when vs/ve coincide with the array bounds — the
-    # input mask below zeroes them either way because the wrapper guarantees
-    # vs >= 16 positions past row 0 only at true array edges (j==0/last).
-    lh = xl_ref[0, _HB - HALO_ROWS :, :]
-    rh = xr_ref[0, :HALO_ROWS, :]
-    lh = jnp.where(j > 0, lh, 0)
-    rh = jnp.where(j < nt - 1, rh, 0)
-    xfull = jnp.concatenate([lh, xm_ref[0], rh], axis=0)
-    xfull = mask(xfull, 0, cin2 // 2)
+    if first_conv:
+        # f=16 one-hot input: the 4ch->64ch k=9 conv runs IN this kernel
+        # as a 3-tap f=16 packed conv (64 -> 1024 lanes), and its output
+        # reshapes row-major into the f=2 layout the chain consumes —
+        # (n0, 1024) -> (8*n0, 128) maps (row, 16 pos x 64 ch) onto
+        # (8 rows of 2 pos, 128) exactly. The intermediate 64ch
+        # activation never exists in HBM (it was 41% of the tower's
+        # wall-clock as an XLA conv + mask round trip).
+        lh16 = xl_ref[0, 6:8, :]  # last 2 rows of the 8-row halo block
+        rh16 = xr_ref[0, :2, :]
+        lh16 = jnp.where(j > 0, lh16, jnp.zeros_like(lh16))
+        rh16 = jnp.where(j < nt - 1, rh16, jnp.zeros_like(rh16))
+        x16 = jnp.concatenate([lh16, xm_ref[0], rh16], axis=0)
+        if x16.dtype == jnp.uint8:  # packed quarter-scale one-hot
+            x16 = x16.astype(out_dtype) * jnp.asarray(0.25, out_dtype)
+        else:
+            x16 = x16.astype(out_dtype)
+        n0 = tile // 8 + 2
+        c64 = w0_ref.shape[0] // 3
+        acc0 = b0_ref[0].astype(jnp.float32)
+        for t in range(3):
+            acc0 = acc0 + jnp.dot(
+                x16[t : t + n0], w0_ref[t * c64 : (t + 1) * c64],
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        xfull = acc0.reshape(8 * n0, cin2).astype(out_dtype)
+        xfull = mask(xfull, 0, cin2 // 2)
+    else:
+        # Stitch main tile + 8-row halos from the clamped neighbor blocks;
+        # at the array edges the clamped blocks alias wrong rows, but those
+        # rows lie outside [vs, ve) only when vs/ve coincide with the array
+        # bounds — the input mask below zeroes them either way because the
+        # wrapper guarantees vs >= 16 positions past row 0 only at true
+        # array edges (j==0/last).
+        lh = xl_ref[0, _HB - HALO_ROWS :, :]
+        rh = xr_ref[0, :HALO_ROWS, :]
+        lh = jnp.where(j > 0, lh, 0)
+        rh = jnp.where(j < nt - 1, rh, 0)
+        xfull = jnp.concatenate([lh, xm_ref[0], rh], axis=0)
+        xfull = mask(xfull, 0, cin2 // 2)
 
     def conv5(buf, w_ref, b_ref, relu, off, c_out):
         """One packed conv: five accumulating shifted dots. (A single
@@ -354,6 +387,130 @@ def fused_conv_chain_packed(
     )(vs.astype(jnp.int32), ve.astype(jnp.int32), xpk, xpk, xpk, *operands)
     out_rows = orig_rows // out_pool
     return out[:, :out_rows] if out_rows != rows // out_pool else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("relus", "residual_idx", "tile", "out_pool", "interpret"),
+)
+def fused_first_stage_packed(
+    x16: jax.Array,  # (R, rows16, 16*Cin) f=16 packed one-hot (uint8 quarter-
+    #                  scale or float); rows16 = L/16
+    conv0,  # (w (9, Cin, C0), b (C0,)) — the 4ch->64ch first conv
+    weights,  # chain convs after conv0, as in fused_conv_chain_packed
+    vs: jax.Array,
+    ve: jax.Array,
+    *,
+    relus: tuple,
+    residual_idx: int = -1,
+    tile: int = 0,  # f=2 rows per tile
+    out_pool: int = 1,
+    interpret: bool = False,
+):
+    """Stage-0 variant of fused_conv_chain_packed that starts from the raw
+    f=16-packed one-hot: conv0 (3-tap f=16), the f2 reshape, masking, the
+    chain and the epilogue pool all run in one kernel — the 64ch stage-0
+    input activation never touches HBM. Returns (R, rows/out_pool,
+    2*Cout_last) with rows = 8*rows16."""
+    r, rows16, _ = x16.shape
+    n_convs = len(weights)
+    w0, b0 = conv0
+    dtype = w0.dtype  # params select the compute dtype (bf16 fast path)
+    w0p, b0p = s2d_conv_weights(w0, b0, f=16)
+    w0p = w0p.reshape(-1, w0p.shape[-1])  # (3*16*Cin, 16*C0)
+    packed = [s2d_conv_weights(w, b) for w, b in weights]
+    cout2 = packed[-1][0].shape[-1]
+    rows = 8 * rows16
+    orig_rows = rows
+    assert rows % out_pool == 0, (rows, out_pool)
+    # f16 geometry: t16 = tile/8 must hold the 8-row halo blocks, so the
+    # tile is at least 64 f2 rows when the grid is tiled
+    align = max(64, _np_lcm(16 * out_pool, 64))
+    tile, padded = _plan_tiles(
+        rows, tile, max_tile=_MAX_TILE // (2 if dtype == jnp.float32 else 1),
+        align=align,
+    )
+    if padded != rows:
+        x16 = jnp.pad(x16, ((0, 0), (0, (padded - rows) // 8), (0, 0)))
+        rows = padded
+        rows16 = rows // 8
+    ntiles = rows // tile
+    t16 = tile // 8
+    hstep16 = t16 // 8 if ntiles > 1 else 0
+    nblk8 = rows16 // 8
+
+    c16 = x16.shape[-1]
+    in_specs = [
+        pl.BlockSpec((1, t16, c16), lambda i, j, *_: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (1, 8, c16),
+            lambda i, j, *_: (i, jnp.clip(j * hstep16 - 1, 0, nblk8 - 1), 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 8, c16),
+            lambda i, j, *_: (
+                i, jnp.clip(j * hstep16 + hstep16, 0, nblk8 - 1), 0
+            ),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(w0p.shape, lambda i, j, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, b0p.shape[0]), lambda i, j, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [w0p, b0p.reshape(1, -1)]
+    for wp, bp in packed:
+        wp2 = wp.reshape(-1, wp.shape[-1])
+        in_specs.append(
+            pl.BlockSpec(wp2.shape, lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        in_specs.append(
+            pl.BlockSpec((1, bp.shape[0]), lambda i, j, *_: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands += [wp2, bp.reshape(1, -1)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(r, ntiles),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, tile // out_pool, cout2), lambda i, j, *_: (i, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(
+        _chain_kernel,
+        tile=tile,
+        n_convs=n_convs,
+        relus=tuple(relus),
+        residual_idx=residual_idx,
+        couts=tuple(p[0].shape[-1] // 2 for p in packed),
+        out_dtype=dtype,
+        out_pool=out_pool,
+        first_conv=True,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((r, rows // out_pool, cout2), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )(vs.astype(jnp.int32), ve.astype(jnp.int32), x16, x16, x16, *operands)
+    out_rows = orig_rows // out_pool
+    return out[:, :out_rows] if out_rows != rows // out_pool else out
+
+
+def _np_lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
 
 
 def pack2(x: jax.Array) -> jax.Array:

@@ -187,6 +187,47 @@ def test_fused_chain_out_pool(pool):
     )
 
 
+@pytest.mark.parametrize("pool", [1, 4])
+def test_fused_first_stage(pool):
+    """Stage-0 kernel (in-VMEM f=16 first conv -> f=2 reshape -> chain ->
+    pool) == XLA first conv + fused chain."""
+    from orca_tpu.ops.pallas.conv1d import fused_first_stage_packed
+
+    L = 1280  # rows16=80, f2 rows=640
+    x = _rng(2, L, 4)
+    w0 = (jnp.array(_rng(9, 4, 64)), jnp.array(_rng(64)))
+    chain = tuple(
+        (jnp.array(_rng(9, 64, 64) * 0.2), jnp.array(_rng(64)))
+        for _ in range(3)
+    )
+    vs = jnp.array([0, 16])
+    ve = jnp.array([L, L - 32])
+    kw = dict(relus=(False, True, True), residual_idx=0, interpret=True)
+
+    # oracle: dense conv0 + masked chain via the generic kernel
+    a = nn_ops.conv1d(jnp.array(x), w0[0], w0[1])
+    pos = jnp.arange(L)
+    m = ((pos[None, :] >= vs[:, None]) & (pos[None, :] < ve[:, None]))
+    a = a * m[:, :, None].astype(a.dtype)
+    want = fused_conv_chain_packed(pack2(a), chain, vs, ve, out_pool=pool,
+                                   **kw)
+    got = fused_first_stage_packed(
+        jnp.array(x).reshape(2, L // 16, 64), w0, chain, vs, ve,
+        out_pool=pool, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=1e-4, rtol=1e-5
+    )
+    # multi-tile grid (f16 halo blocks) agrees
+    tiled = fused_first_stage_packed(
+        jnp.array(x).reshape(2, L // 16, 64), w0, chain, vs, ve,
+        out_pool=pool, tile=320, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(tiled), np.asarray(got), atol=1e-4, rtol=1e-5
+    )
+
+
 def test_pallas_encoder_stages_match_lax():
     """Full 7-stage Pallas tower (interpret) == apply_encoder_stages."""
     params = _inference_tower()
