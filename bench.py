@@ -150,7 +150,79 @@ def main():
         result["fp32_seconds_per_window"] = round(dt32, 3)
         result["fp32_compile_s"] = round(compile32, 1)
 
+    # 256Mb whole-chromosome cascade (BASELINE row 3) as secondary fields,
+    # so the artifact records that configuration every round.
+    if not os.environ.get("ORCA_BENCH_SKIP_256M"):
+        try:
+            dt256, compile256 = _measure_256m(DTYPE, max(1, iters - 1))
+            result["mb_per_s_256m"] = round(256.0 / dt256, 3)
+            result["seconds_per_256Mb_window"] = round(dt256, 3)
+            result["compile_s_256m"] = round(compile256, 1)
+        except Exception as e:  # never lose the headline to a secondary
+            result["bench_256m_error"] = f"{type(e).__name__}: {e}"
+
     print(json.dumps(result))
+
+
+def _measure_256m(dtype: str, iters: int):
+    """One 256Mb whole-chromosome cascade (chr8-like 145.1Mb + padding
+    chromosome, per-region background normmats, fwd+RC, 4 levels) — the
+    same measurement as scripts/bench_256m.py, inlined so BENCH_r*.json
+    captures BASELINE row 3 each round."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from orca_tpu.certify import _cast_bundle
+    from orca_tpu.models import zoo
+    from orca_tpu.nn import decoders as D, encoders as E
+    from orca_tpu.nn.core import fold_params
+    from orca_tpu.predict import retrieval
+    from orca_tpu.predict.multiscale import GEOM_256M, _cascade_256mb
+
+    bundle = zoo.random_256m_bundle(seed=0)
+    bundle = dataclasses.replace(
+        bundle,
+        encoder=fold_params(bundle.encoder, E.encoder_tower_spec()),
+        pyramid1=fold_params(bundle.pyramid1, E.pyramid_spec(5, True)),
+        pyramid=fold_params(bundle.pyramid, E.pyramid_spec(3, True)),
+        decoders={
+            lv: fold_params(p, D.decoder_spec(1))
+            for lv, p in bundle.decoders.items()
+        },
+    )
+    bundle = _cast_bundle(bundle, dtype)
+
+    chrlen = 145_100_000 - 145_100_000 % 32000
+    regions = [["chrM", 0, chrlen, "+"],
+               ["chrP", 0, 256_000_000 - chrlen, "+"]]
+    normmat = retrieval.assemble_normmat(
+        regions, bundle.background_cis, bundle.background_trans,
+        binsize=32000,
+    ).astype(np.float32)
+    mask = np.isnan(normmat)
+    if mask.any():
+        normmat[mask] = np.nanmin(normmat[~mask])
+
+    rng = np.random.RandomState(0)
+    codes = rng.randint(0, 4, size=256_000_000)
+    seq = jnp.asarray((np.eye(4, dtype=np.uint8) * 4)[codes][None])
+    nm = jnp.asarray(normmat)
+
+    def run():
+        preds, _starts, _norms = _cascade_256mb(
+            bundle, GEOM_256M, seq, jnp.float32(64_000_000.0),
+            jnp.float32(128_000_000.0), jnp.float32(chrlen), nm,
+        )
+        return float(jnp.sum(preds[-1].astype(jnp.float32)))
+
+    t0 = time.time()
+    run()
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(iters):
+        run()
+    return (time.time() - t0) / iters, compile_s
 
 
 if __name__ == "__main__":
