@@ -5,7 +5,8 @@ Prediction modes mirror the reference CLI (orca_predict.py:3168-3391):
 plus framework utilities:
   build-genome  — FASTA -> uint8 code memmap (replaces make_genome_memmap.py)
   convert       — torch statedicts -> orca_tpu bundle pickles
-  expectation   — cooltools expected TSV -> .npy expectation files
+  expectation   — cooltools expected TSV or a cooler/mcool ->
+                  .npy expectation files (mcool path needs no cooltools)
   bench         — run the standard throughput benchmark
   train         — launch a training stage from a TrainJob JSON (replaces
                   the reference's eight train/*.py scripts; docs/TRAINING.md)
@@ -91,9 +92,17 @@ def main(argv=None):
     p.add_argument("--model-dir", default=None)
     p.add_argument("--resource-dir", default=None)
 
-    p = sub.add_parser("expectation", help="cooltools expected TSV -> npy")
-    p.add_argument("tsv")
-    p.add_argument("resolution", type=int)
+    p = sub.add_parser(
+        "expectation",
+        help="expectation files from a cooltools expected TSV or directly "
+             "from a cooler/mcool (no cooltools needed)",
+    )
+    p.add_argument("source", help="TSV path, or a cooler URI "
+                                  "(x.cool / x.mcool::/resolutions/4000)")
+    p.add_argument("resolution", type=int, nargs="?", default=None,
+                   help="bin size (required for TSV input; read from the "
+                        "file for cooler input)")
+    p.add_argument("--out-prefix", default=None)
 
     p = sub.add_parser("bench", help="run the standard benchmark")
 
@@ -218,10 +227,21 @@ def main(argv=None):
         return 0
 
     if args.command == "expectation":
+        src = args.source
+        if "::" in src or src.endswith((".cool", ".mcool")):
+            from orca_tpu.data.expectation import process_expectation_cooler
+
+            prefix = args.out_prefix or src.split("::")[0]
+            process_expectation_cooler(src, prefix)
+            print(f"wrote {prefix}.npy / .mono.npy / .trans.npy")
+            return 0
+        if args.resolution is None:
+            parser.error("TSV input needs the resolution argument")
         from orca_tpu.data.expectation import process_expectation_tsv
 
-        process_expectation_tsv(args.tsv, args.resolution)
-        print(f"wrote {args.tsv}.npy / .mono.npy")
+        process_expectation_tsv(src, args.resolution,
+                                out_prefix=args.out_prefix)
+        print(f"wrote {args.out_prefix or src}.npy / .mono.npy")
         return 0
 
     if args.command == "train":

@@ -76,6 +76,92 @@ def trans_expectation(balanced_sum_trans: np.ndarray,
     return float(np.log(np.sum(balanced_sum_trans) / np.sum(n_valid_trans)))
 
 
+def diagonal_stats_from_cooler(uri: str):
+    """Per-diagonal (n_valid, balanced.sum) + trans totals straight from a
+    cooler/mcool via the in-repo h5py reader — the stats `cooltools
+    compute-expected` produces, without the cooltools dependency.
+
+    n_valid[d] counts ALL bin pairs at separation d whose balancing
+    weights are both finite (cooltools semantics — not just nonzero
+    pixels), computed per chromosome via FFT autocorrelation of the
+    validity mask; balanced sums accumulate count*w_i*w_j per diagonal
+    from the CSR pixel slabs.
+    """
+    from orca_tpu.data.mcool import NativeCooler
+
+    c = NativeCooler(uri)
+    root = c._root()
+    chrom_offset = np.asarray(root["indexes"]["chrom_offset"][:], np.int64)
+    w = c.weights()
+    valid = np.isfinite(w)
+
+    nbins_max = int(np.max(np.diff(chrom_offset)))
+    n_valid = np.zeros(nbins_max, np.float64)
+    balanced = np.zeros(nbins_max, np.float64)
+
+    # per-chromosome valid-pair counts: autocorrelation of the mask
+    for ci in range(len(chrom_offset) - 1):
+        v = valid[chrom_offset[ci] : chrom_offset[ci + 1]].astype(np.float64)
+        n = len(v)
+        if n == 0:
+            continue
+        m = 1 << (2 * n - 1).bit_length()
+        f = np.fft.rfft(v, m)
+        corr = np.fft.irfft(f * np.conj(f), m)[:n]
+        n_valid[:n] += np.round(corr)
+
+    # balanced per-diagonal sums from the pixels (cis); trans totals
+    b1off = root["indexes"]["bin1_offset"]
+    px = root["pixels"]
+    trans_sum = 0.0
+    chrom_of = np.searchsorted(chrom_offset, np.arange(len(w)),
+                               side="right") - 1
+    lo, hi = 0, int(b1off[len(w)])
+    step = 4_000_000  # pixel-slab streaming
+    for s in range(lo, hi, step):
+        e = min(s + step, hi)
+        bin1 = np.asarray(px["bin1_id"][s:e], np.int64)
+        bin2 = np.asarray(px["bin2_id"][s:e], np.int64)
+        cnt = np.asarray(px["count"][s:e], np.float64)
+        bal = cnt * w[bin1] * w[bin2]
+        ok = np.isfinite(bal)
+        cis = ok & (chrom_of[bin1] == chrom_of[bin2])
+        d = bin2[cis] - bin1[cis]
+        np.add.at(balanced, d, bal[cis])
+        tr = ok & ~cis
+        # off-diagonal storage is upper-triangular: each trans pixel
+        # represents one (i, j) pair
+        trans_sum += float(bal[tr].sum())
+
+    # total valid trans pairs: all-pairs minus the cis pairs
+    tot_valid = float(valid.sum())
+    cis_pairs = 0.0
+    for ci in range(len(chrom_offset) - 1):
+        nv = float(valid[chrom_offset[ci] : chrom_offset[ci + 1]].sum())
+        cis_pairs += nv * (nv + 1) / 2  # incl. the diagonal
+    trans_pairs = tot_valid * (tot_valid + 1) / 2 - cis_pairs
+    return n_valid, balanced, trans_sum, trans_pairs
+
+
+def process_expectation_cooler(uri: str, out_prefix: str):
+    """Cooler/mcool -> expectation files (.npy/.mono.npy/.trans.npy), the
+    end-to-end equivalent of cooltools compute-expected +
+    misc/process_expectation.py in one step."""
+    from orca_tpu.data.mcool import NativeCooler
+
+    n_valid, balanced, trans_sum, trans_pairs = diagonal_stats_from_cooler(
+        uri
+    )
+    res = NativeCooler(uri).binsize
+    sv, sv_mono = expectation_from_diagonals(balanced, n_valid, res)
+    np.save(out_prefix + ".npy", sv)
+    np.save(out_prefix + ".mono.npy", sv_mono)
+    if trans_pairs > 0:
+        np.save(out_prefix + ".trans.npy",
+                np.log(trans_sum / trans_pairs))
+    return sv, sv_mono
+
+
 def process_expectation_tsv(path: str, res: int, out_prefix: Optional[str] = None):
     """Full port of the misc/process_expectation.py CLI: read the cooltools
     TSV (columns diag, n_valid, balanced.sum), write .npy/.mono.npy (and

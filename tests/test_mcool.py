@@ -124,3 +124,53 @@ def test_cooler_contact_matrix_cg(fixture):
     assert got.shape == (16, 16)
     # masked bins stay NaN through coarse-graining
     assert np.isnan(got[2, :]).all()
+
+
+def test_expectation_from_cooler(fixture, tmp_path):
+    """Per-diagonal stats + expectation files straight from the mcool (the
+    cooltools-free path of `orca-tpu expectation`), vs a dense oracle."""
+    from orca_tpu.data.expectation import (
+        diagonal_stats_from_cooler,
+        process_expectation_cooler,
+    )
+
+    uri, counts, weights = fixture
+    n_valid, balanced, trans_sum, trans_pairs = diagonal_stats_from_cooler(
+        uri
+    )
+
+    bal = counts * weights[:, None] * weights[None, :]
+    spans = {"chr1": (0, 16), "chr2": (16, 26)}
+    want_nv = np.zeros(16)
+    want_bs = np.zeros(16)
+    for s, e in spans.values():
+        sub = bal[s:e, s:e]
+        v = np.isfinite(weights[s:e])
+        n = e - s
+        for d in range(n):
+            pairs = v[: n - d] & v[d:]
+            want_nv[d] += pairs.sum()
+            want_bs[d] += np.nansum(np.where(
+                pairs, np.diagonal(sub, offset=d), 0.0
+            ))
+    np.testing.assert_allclose(n_valid[:16], want_nv)
+    np.testing.assert_allclose(balanced[:16], want_bs, rtol=1e-10)
+
+    # trans: valid cross-chromosome upper pairs
+    v1 = np.isfinite(weights[0:16])
+    v2 = np.isfinite(weights[16:26])
+    want_trans_pairs = v1.sum() * v2.sum()
+    want_trans_sum = np.nansum(np.where(
+        np.outer(v1, v2), bal[0:16, 16:26], 0.0
+    ))
+    np.testing.assert_allclose(trans_pairs, want_trans_pairs)
+    np.testing.assert_allclose(trans_sum, want_trans_sum, rtol=1e-10)
+
+    prefix = str(tmp_path / "exp")
+    sv, sv_mono = process_expectation_cooler(uri, prefix)
+    assert np.all(np.isfinite(sv))
+    assert np.all(np.diff(sv_mono) <= 1e-12)
+    got_trans = float(np.load(prefix + ".trans.npy"))
+    np.testing.assert_allclose(
+        got_trans, np.log(want_trans_sum / want_trans_pairs), rtol=1e-10
+    )
