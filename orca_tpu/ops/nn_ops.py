@@ -128,10 +128,16 @@ def conv2d(
     measurably faster at decoder dilations.
     """
     kh, kw = w.shape[0], w.shape[1]
+    # fp32 takes the matmul path only on TPU: XLA:CPU's conv_general is
+    # ~2x the 9-tap einsum there (measured via the CPU-mesh dry run)
     if (
         kh == 3 and kw == 3
-        and x.dtype in (jnp.bfloat16, jnp.float32)
         and precision is None
+        and (
+            x.dtype == jnp.bfloat16
+            or (x.dtype == jnp.float32
+                and jax.default_backend() == "tpu")
+        )
     ):
         return _conv2d_k3_matmul(x, w, b, dilation)
     ph = dilation * (kh - 1) // 2
