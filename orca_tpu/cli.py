@@ -232,8 +232,8 @@ def main(argv=None):
             from orca_tpu.data.expectation import process_expectation_cooler
 
             prefix = args.out_prefix or src.split("::")[0]
-            process_expectation_cooler(src, prefix)
-            print(f"wrote {prefix}.npy / .mono.npy / .trans.npy")
+            _, _, written = process_expectation_cooler(src, prefix)
+            print("wrote " + " ".join(written))
             return 0
         if args.resolution is None:
             parser.error("TSV input needs the resolution argument")

@@ -154,12 +154,14 @@ def process_expectation_cooler(uri: str, out_prefix: str):
     )
     res = NativeCooler(uri).binsize
     sv, sv_mono = expectation_from_diagonals(balanced, n_valid, res)
-    np.save(out_prefix + ".npy", sv)
-    np.save(out_prefix + ".mono.npy", sv_mono)
+    written = [out_prefix + ".npy", out_prefix + ".mono.npy"]
+    np.save(written[0], sv)
+    np.save(written[1], sv_mono)
     if trans_pairs > 0:
-        np.save(out_prefix + ".trans.npy",
-                np.log(trans_sum / trans_pairs))
-    return sv, sv_mono
+        # single-chromosome coolers have no trans pairs -> no .trans.npy
+        written.append(out_prefix + ".trans.npy")
+        np.save(written[2], np.log(trans_sum / trans_pairs))
+    return sv, sv_mono, written
 
 
 def process_expectation_tsv(path: str, res: int, out_prefix: Optional[str] = None):

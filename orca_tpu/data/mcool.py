@@ -74,8 +74,16 @@ class NativeCooler:
     @property
     def binsize(self) -> int:
         root = self._root()
+        # the "bin-size" attr (written by write_cooler and standard
+        # coolers) is authoritative; the start-difference heuristic is
+        # wrong when the first chromosome holds exactly one bin (starts[1]
+        # is then the next chromosome's 0).
+        bs = root.attrs.get("bin-size")
+        if bs is not None:
+            return int(bs)
         starts = root["bins"]["start"]
-        if starts.shape[0] > 1:
+        chrom = root["bins"]["chrom"]
+        if starts.shape[0] > 1 and int(chrom[1]) == int(chrom[0]):
             return int(starts[1]) - int(starts[0])
         return int(root["bins"]["end"][0])
 

@@ -129,7 +129,11 @@ def conv2d(
     """
     kh, kw = w.shape[0], w.shape[1]
     # fp32 takes the matmul path only on TPU: XLA:CPU's conv_general is
-    # ~2x the 9-tap einsum there (measured via the CPU-mesh dry run)
+    # ~2x the 9-tap einsum there (measured via the CPU-mesh dry run).
+    # default_backend() is a trace-time approximation: a computation
+    # explicitly lowered for CPU inside a TPU-default process still takes
+    # the matmul path (perf-only — numerics are identical either way; no
+    # such mixed lowering exists in this codebase today).
     if (
         kh == 3 and kw == 3
         and precision is None

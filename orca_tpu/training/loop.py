@@ -87,19 +87,26 @@ def restore_state(workdir: str, template: dict) -> Optional[dict]:
     if path is None:
         return None
     with ocp.StandardCheckpointer() as ckptr:
-        try:
-            return ckptr.restore(path, template)
-        except Exception:
-            # legacy checkpoints predate the "rng" entry
-            if "rng" in template:
-                t = {k: v for k, v in template.items() if k != "rng"}
-                return ckptr.restore(path, t)
-            raise
+        t = template
+        if "rng" in t:
+            # legacy checkpoints predate the "rng" entry: decide from the
+            # checkpoint's own metadata rather than by catching restore
+            # failures (which would also swallow corrupt-step errors).
+            try:
+                saved = ckptr.metadata(path)
+            except Exception:
+                saved = None
+            keys = getattr(saved, "keys", lambda: None)()
+            if keys is not None and "rng" not in keys:
+                t = {k: v for k, v in t.items() if k != "rng"}
+        return ckptr.restore(path, t)
 
 
 def _host_state_path(workdir: str, step: int) -> str:
-    # per-process file on multi-host runs: each host's sampler stream is
-    # distinct (disjoint batch slices), so each process persists its own
+    # per-process file on multi-host runs for write-safety (no two
+    # processes race on one file); under global-batch semantics the
+    # sampler state is identical across hosts (launch._per_process), so
+    # the sidecars hold equal payloads and any one restores the run
     suffix = "" if jax.process_count() == 1 else f".p{jax.process_index()}"
     return os.path.join(
         os.path.abspath(workdir), f"ckpt_{step}.host{suffix}.json"

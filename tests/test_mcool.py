@@ -167,7 +167,9 @@ def test_expectation_from_cooler(fixture, tmp_path):
     np.testing.assert_allclose(trans_sum, want_trans_sum, rtol=1e-10)
 
     prefix = str(tmp_path / "exp")
-    sv, sv_mono = process_expectation_cooler(uri, prefix)
+    sv, sv_mono, written = process_expectation_cooler(uri, prefix)
+    assert written == [prefix + ".npy", prefix + ".mono.npy",
+                       prefix + ".trans.npy"]
     assert np.all(np.isfinite(sv))
     assert np.all(np.diff(sv_mono) <= 1e-12)
     got_trans = float(np.load(prefix + ".trans.npy"))
