@@ -169,29 +169,16 @@ def _measure_256m(dtype: str, iters: int):
     chromosome, per-region background normmats, fwd+RC, 4 levels) — the
     same measurement as scripts/bench_256m.py, inlined so BENCH_r*.json
     captures BASELINE row 3 each round."""
-    import dataclasses
-
     import jax.numpy as jnp
 
     from orca_tpu.certify import _cast_bundle
     from orca_tpu.models import zoo
-    from orca_tpu.nn import decoders as D, encoders as E
-    from orca_tpu.nn.core import fold_params
     from orca_tpu.predict import retrieval
     from orca_tpu.predict.multiscale import GEOM_256M, _cascade_256mb
 
-    bundle = zoo.random_256m_bundle(seed=0)
-    bundle = dataclasses.replace(
-        bundle,
-        encoder=fold_params(bundle.encoder, E.encoder_tower_spec()),
-        pyramid1=fold_params(bundle.pyramid1, E.pyramid_spec(5, True)),
-        pyramid=fold_params(bundle.pyramid, E.pyramid_spec(3, True)),
-        decoders={
-            lv: fold_params(p, D.decoder_spec(1))
-            for lv, p in bundle.decoders.items()
-        },
+    bundle = _cast_bundle(
+        zoo.fold_256m_bundle(zoo.random_256m_bundle(seed=0)), dtype
     )
-    bundle = _cast_bundle(bundle, dtype)
 
     chrlen = 145_100_000 - 145_100_000 % 32000
     regions = [["chrM", 0, chrlen, "+"],

@@ -335,14 +335,35 @@ def certify_1m(
 # --------------------------------------------------------------------------
 
 
+def torch_encodings_256m(modules, seq_np: np.ndarray):
+    """Reference 256Mb encoder stack (net3(net1(net0(x))[-1])) for both
+    orientations — the expensive part of the oracle (the 512Mb of encoder
+    dominates; the zoom loop is cheap), split out so multiple zoom targets
+    on one sequence share it."""
+    import torch
+
+    net0, net1, net3 = modules[:3]
+    out = []
+    with torch.no_grad():
+        for seq in (seq_np, np.ascontiguousarray(seq_np[:, ::-1, ::-1])):
+            x = torch.FloatTensor(seq).transpose(1, 2)
+            out.append(dict(
+                zip((32, 64, 128, 256), net3(net1(net0(x))[-1]))
+            ))
+    return out
+
+
 def torch_cascade_256m(modules, seq_np: np.ndarray, normmat: np.ndarray,
-                       chrlen: float, mpos: int, wpos: int, geom):
+                       chrlen: float, mpos: int, wpos: int, geom,
+                       encodings_pair=None):
     """Reference genomepredict_256Mb zoom loop (orca_predict.py:661-845)
     over torch modules: per-region normmat block-averaging, RC distenc
     flip, chromosome-bound zoom clamping, RC start-index mirror.
 
-    modules: (net0, net1, net3, {level: decoder}). Returns
-    ([4 fwd/RC-averaged (crop, crop) maps, coarsest first], starts).
+    modules: (net0, net1, net3, {level: decoder}). encodings_pair: optional
+    [fwd, rc] encoding dicts from `torch_encodings_256m` to amortize the
+    encoder across zoom targets. Returns ([4 fwd/RC-averaged (crop, crop)
+    maps, coarsest first], starts).
     """
     import torch
 
@@ -352,16 +373,12 @@ def torch_cascade_256m(modules, seq_np: np.ndarray, normmat: np.ndarray,
     mask = np.isnan(nm)
     if mask.any():
         nm[mask] = np.nanmin(nm[~mask])
+    if encodings_pair is None:
+        encodings_pair = torch_encodings_256m(modules, seq_np)
     allpreds = []
     allstarts = []
     with torch.no_grad():
-        for iii, seq in enumerate(
-            [seq_np, np.ascontiguousarray(seq_np[:, ::-1, ::-1])]
-        ):
-            x = torch.FloatTensor(seq).transpose(1, 2)
-            encodings = dict(
-                zip((32, 64, 128, 256), net3(net1(net0(x))[-1]))
-            )
+        for iii, encodings in enumerate(encodings_pair):
             preds = []
             starts = [0]
             for j, level in enumerate((256, 128, 64, 32)):
@@ -614,8 +631,185 @@ def certify_synthetic_32m(
     return report
 
 
+def certify_synthetic_1m(
+    reference_path: str,
+    seed: int = 0,
+    atol: float = 2e-3,
+    seq_len: int = 1_000_000,
+    num_1d: int = 32,
+    dtype: str = "float32",
+) -> Dict:
+    """FULL-GEOMETRY 1Mb Net parity on synthetic weights: random-init
+    reference `Net(num_1d)` (orca_modules.py:1409-1901) -> the statedict
+    converter -> `apply_net` (2D map + 1D track head + final_1d) vs the
+    torch forward at the production 1Mb window."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from orca_tpu.models import convert
+    from orca_tpu.nn import decoders
+
+    if reference_path not in sys.path:
+        sys.path.insert(0, reference_path)
+    import orca_modules as ref
+
+    torch.manual_seed(seed)
+    net = ref.Net(num_1d=num_1d).eval()
+    params = _cast_bundle(
+        convert.convert_net(net.state_dict(), num_1d=num_1d), dtype
+    )
+
+    rng = np.random.RandomState(seed + 1)
+    codes = rng.randint(0, 4, size=seq_len)
+    seq = np.eye(4, dtype=np.float32)[codes][None]
+    got2d, got1d = decoders.apply_net(
+        params, jnp.asarray(seq), num_1d=num_1d
+    )
+    with torch.no_grad():
+        want2d, want1d = net(torch.FloatTensor(seq).transpose(1, 2))
+    d2 = float(np.max(np.abs(
+        np.asarray(got2d[0, :, :, 0], np.float32) - want2d.numpy()[0, 0]
+    )))
+    d1 = float(np.max(np.abs(
+        np.asarray(got1d[0], np.float32) - want1d.numpy()[0].T
+    )))
+    return {
+        "max_abs_diff": {"2d": d2, "1d": d1},
+        "geometry": {"seq_len": seq_len, "num_1d": num_1d},
+        "atol": atol,
+        "dtype": dtype,
+        "seed": seed,
+        "pass": d2 <= atol and d1 <= atol,
+    }
+
+
+def certify_synthetic_256m(
+    reference_path: str,
+    seed: int = 0,
+    atol: float = 2e-3,
+    geometry=None,
+    chrlen: Optional[int] = None,
+    mpos_fracs: Sequence[float] = (0.44, 0.995),
+    dtype: str = "float32",
+) -> Dict:
+    """FULL-GEOMETRY 256Mb cascade parity on synthetic weights — the
+    production shapes the scaled-geometry tests never reach: 256Mb window,
+    32kb bins, crop 250, per-region 8000x8000 normmat block-averaging, RC
+    start-index mirror (orca_predict.py:832-833), and the chromosome-bound
+    zoom clamp at a REAL chromosome length (default chr8-like 145.1Mb; the
+    second mpos_frac sits near the chromosome end so the clamp is active).
+    The torch oracle (orca_predict.py:661-845 over random-init reference
+    modules) computes its encoder pass once and replays the zoom loop per
+    target."""
+    import torch
+
+    import jax.numpy as jnp
+
+    from orca_tpu.models import convert
+    from orca_tpu.models.zoo import Model256MBundle, fold_256m_bundle
+    from orca_tpu.predict import retrieval
+    from orca_tpu.predict.multiscale import GEOM_256M, _cascade_256mb
+
+    if reference_path not in sys.path:
+        sys.path.insert(0, reference_path)
+    import orca_modules as ref
+
+    geom = geometry or GEOM_256M
+    levels = (32, 64, 128, 256)
+    torch.manual_seed(seed)
+    net0 = ref.Encoder().eval()
+    net1 = ref.Encoder2().eval()
+    net3 = ref.Encoder3().eval()
+    denets = {lv: ref.Decoder(upsample_mode="bilinear").eval()
+              for lv in levels}
+
+    d = np.arange(geom.bins, dtype=np.float64)
+    background_cis = np.hstack([
+        np.exp(-1.2 * np.log1p(d) - 3.0),
+        np.repeat(np.nan, geom.bins // 4),
+    ])
+    bundle = fold_256m_bundle(Model256MBundle(
+        name="synthetic_256m",
+        encoder=convert.convert_encoder_tower(net0.state_dict()),
+        pyramid1=convert.convert_pyramid(net1.state_dict(), 5, True),
+        pyramid=convert.convert_pyramid(net3.state_dict(), 3, True),
+        decoders={
+            lv: convert.convert_decoder(dn.state_dict())
+            for lv, dn in denets.items()
+        },
+        background_cis=background_cis,
+        background_trans=float(np.exp(-9.0)),
+    ))
+    bundle = _cast_bundle(bundle, dtype)
+
+    # chr8-like whole chromosome + padding chromosome filling the window
+    if chrlen is None:
+        chrlen = int(geom.window_bp * (145_138_636 / 256_000_000))
+    chrlen -= chrlen % geom.bin_bp
+    regions = [["chrM", 0, chrlen, "+"],
+               ["chrP", 0, geom.window_bp - chrlen, "+"]]
+    normmat = retrieval.assemble_normmat(
+        regions, bundle.background_cis, bundle.background_trans,
+        binsize=geom.bin_bp,
+    ).astype(np.float32)
+    nm_filled = normmat.copy()
+    mask = np.isnan(nm_filled)
+    if mask.any():
+        nm_filled[mask] = np.nanmin(nm_filled[~mask])
+
+    rng = np.random.RandomState(seed + 1)
+    codes = rng.randint(0, 4, size=geom.window_bp)
+    seq = np.eye(4, dtype=np.float32)[codes][None]
+    # packed quarter-scale uint8: the production transfer format
+    seq_dev = jnp.asarray((np.eye(4, dtype=np.uint8) * 4)[codes][None])
+    wpos = geom.window_bp // 2
+    torch_modules = (net0, net1, net3, denets)
+    encodings_pair = torch_encodings_256m(torch_modules, seq)
+
+    report = {}
+    ok = True
+    for frac in mpos_fracs:
+        mpos = int(chrlen * frac)
+        got, got_starts, _ = _cascade_256mb(
+            bundle, geom, seq_dev, jnp.float32(mpos), jnp.float32(wpos),
+            jnp.float32(chrlen), jnp.asarray(nm_filled),
+        )
+        want, want_starts = torch_cascade_256m(
+            torch_modules, seq, normmat, chrlen, mpos, wpos, geom,
+            encodings_pair=encodings_pair,
+        )
+        diffs = {}
+        for j, level in enumerate((256, 128, 64, 32)):
+            dmax = float(np.max(np.abs(
+                np.asarray(got[j][0], np.float32) - want[j]
+            )))
+            diffs[level] = dmax
+            ok = ok and dmax <= atol
+        starts_ok = list(np.asarray(got_starts)) == list(want_starts)
+        ok = ok and starts_ok
+        report[f"mpos_frac_{frac}"] = {
+            "max_abs_diff": diffs, "starts_equal": starts_ok,
+        }
+    report["geometry"] = {
+        "window_bp": geom.window_bp, "bin_bp": geom.bin_bp,
+        "crop": geom.crop, "chrlen": chrlen,
+    }
+    report["atol"] = atol
+    report["dtype"] = dtype
+    report["seed"] = seed
+    report["pass"] = ok
+    return report
+
+
 CERTIFY_FAMILIES = {
     "32m": certify_32m,
     "1m": certify_1m,
     "256m": certify_256m,
+}
+
+CERTIFY_SYNTHETIC_FAMILIES = {
+    "32m": certify_synthetic_32m,
+    "1m": certify_synthetic_1m,
+    "256m": certify_synthetic_256m,
 }

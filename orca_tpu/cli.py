@@ -164,11 +164,28 @@ def main(argv=None):
         from orca_tpu.utils.config import get_config
 
         if args.synthetic:
-            from orca_tpu.certify import certify_synthetic_32m
+            from orca_tpu.certify import CERTIFY_SYNTHETIC_FAMILIES
 
-            report = certify_synthetic_32m(
-                args.reference, atol=args.atol, dtype=args.dtype,
-            )
+            families = args.families.split(",")
+            for family in families:
+                if family not in CERTIFY_SYNTHETIC_FAMILIES:
+                    parser.error(
+                        f"unknown family {family!r} (32m|1m|256m)"
+                    )
+            if families == ["32m"]:
+                # single-family runs keep the round-4 flat report format
+                report = CERTIFY_SYNTHETIC_FAMILIES["32m"](
+                    args.reference, atol=args.atol, dtype=args.dtype,
+                )
+            else:
+                report = {}
+                ok = True
+                for family in families:
+                    report[family] = CERTIFY_SYNTHETIC_FAMILIES[family](
+                        args.reference, atol=args.atol, dtype=args.dtype,
+                    )
+                    ok = ok and report[family]["pass"]
+                report["pass"] = ok
             text = json.dumps(report, indent=2)
             if args.out:
                 with open(args.out, "w") as f:

@@ -188,6 +188,20 @@ def load_32m_bundle(model_dir: str, resource_dir: str, name: str,
     return fold_bundle(bundle) if fold else bundle
 
 
+def fold_256m_bundle(bundle: Model256MBundle) -> Model256MBundle:
+    """Fold all BatchNorms into conv weights for inference (256M family)."""
+    return dataclasses.replace(
+        bundle,
+        encoder=fold_params(bundle.encoder, encoders.encoder_tower_spec()),
+        pyramid1=fold_params(bundle.pyramid1, encoders.pyramid_spec(5, True)),
+        pyramid=fold_params(bundle.pyramid, encoders.pyramid_spec(3, True)),
+        decoders={
+            lv: fold_params(p, decoders.decoder_spec(1))
+            for lv, p in bundle.decoders.items()
+        },
+    )
+
+
 def fold_bundle(bundle: ModelBundle) -> ModelBundle:
     """Fold all BatchNorms into conv weights for inference."""
     return dataclasses.replace(
@@ -420,18 +434,7 @@ def load_256m_bundle(model_dir: str, resource_dir: str, name: str,
         background_cis=np.hstack([np.exp(cis), np.repeat(np.nan, 2000)]),
         background_trans=float(np.exp(trans)),
     )
-    if fold:
-        bundle = dataclasses.replace(
-            bundle,
-            encoder=fold_params(bundle.encoder, encoders.encoder_tower_spec()),
-            pyramid1=fold_params(bundle.pyramid1, encoders.pyramid_spec(5, True)),
-            pyramid=fold_params(bundle.pyramid, encoders.pyramid_spec(3, True)),
-            decoders={
-                lv: fold_params(p, decoders.decoder_spec(1))
-                for lv, p in bundle.decoders.items()
-            },
-        )
-    return bundle
+    return fold_256m_bundle(bundle) if fold else bundle
 
 
 def load_1m_bundle(model_dir: str, resource_dir: str, name: str) -> Model1MBundle:

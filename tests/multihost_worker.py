@@ -1,18 +1,38 @@
-"""Subprocess worker for the TRUE multi-process multihost test.
+"""Subprocess worker for the TRUE multi-process multihost tests.
 
-Each invocation is one jax.distributed process of an N-process stage-a
-training rig on localhost (CPU devices). Run with:
+Each invocation is one jax.distributed process of an N-process training
+rig on localhost (CPU devices). Run with:
 
     python multihost_worker.py <proc_id> <nproc> <port> <workdir> \
-        <local_devices> <steps>
+        <local_devices> <steps> [stage]
 
-Process 0 writes `losses.p0.json` with the per-step loss trajectory into
-workdir. All processes participate in the collective orbax checkpoint.
+stage: 'a' (default) = StageATrainer on a data-parallel mesh;
+       'c' = StageCTrainer (cross-chromosome sampler, per-sample
+       background normmats, fetch_global eval) on a data x seq mesh —
+       the seq axis exercises the ppermute-halo sharded encoder across
+       a REAL multi-process topology.
+
+Process 0 writes `losses.<stage>.n<nproc>.json` with the per-step loss
+trajectory, validation Pearson and a param checksum into workdir. All
+processes participate in the collective orbax checkpoint.
 """
 
 import json
 import os
 import sys
+
+
+def param_sum(params) -> float:
+    """Deterministic float64 checksum over a parameter pytree."""
+    import jax
+    import numpy as np
+
+    return float(np.asarray(jax.tree.reduce(
+        lambda a, b: a + b,
+        jax.tree.map(
+            lambda x: jax.numpy.sum(x.astype(jax.numpy.float64)), params
+        ),
+    )))
 
 
 def build_trainer(workdir, batch_size, steps):
@@ -49,10 +69,82 @@ def build_trainer(workdir, batch_size, steps):
                          mesh=mesh)
 
 
+def build_trainer_c(workdir, accumulate):
+    """Scaled stage-c rig (mirrors tests/test_stage_c.py geometry): 2Mb
+    cross-chromosome windows with per-sample cis/trans backgrounds, on a
+    mesh with a non-trivial 'seq' axis so the frozen encoder runs
+    ppermute-halo sequence-sharded across the distributed topology
+    (train_h1esc_c.py:36-53,150-227)."""
+    import numpy as np
+
+    import jax
+
+    from orca_tpu.data import genome as g
+    from orca_tpu.data.sampler import RandomWindowSampler
+    from orca_tpu.data.targets import DenseContactMatrix
+    from orca_tpu.nn import decoders, encoders
+    from orca_tpu.nn.core import fold_params
+    from orca_tpu.parallel import multihost
+    from orca_tpu.predict.multiscale import CascadeGeometry
+    from orca_tpu.training.loop import LoopConfig, StageCTrainer
+    from orca_tpu.training.stages import StageCConfig
+
+    levels = (256, 128, 64, 32)
+    geom = CascadeGeometry(window_bp=2_048_000, bin_bp=32_000, crop=2)
+
+    ke, kp1, kp, kd = jax.random.split(jax.random.PRNGKey(11), 4)
+    trainable = {
+        "pyramid": encoders.init_pyramid(kp, 3, True),
+        "decoders": {
+            lv: decoders.init_decoder(k)
+            for lv, k in zip(levels, jax.random.split(kd, len(levels)))
+        },
+    }
+    frozen = {
+        "encoder": fold_params(
+            encoders.init_encoder_tower(ke), encoders.encoder_tower_spec()
+        ),
+        "pyramid1": fold_params(
+            encoders.init_pyramid(kp1, 5, True),
+            encoders.pyramid_spec(5, True),
+        ),
+    }
+
+    rng = np.random.RandomState(0)
+    chrlen = geom.window_bp // 2
+    gen = g.CodeGenome({
+        "chr1": rng.randint(0, 4, chrlen).astype(np.uint8),
+        "chr2": rng.randint(0, 4, chrlen).astype(np.uint8),
+        "chr3": rng.randint(0, 4, chrlen).astype(np.uint8),
+    })
+    nb = chrlen // geom.bin_bp
+    mats = {c: np.abs(rng.rand(nb, nb)).astype(np.float32)
+            for c, _ in gen.get_chr_lens()}
+    target = DenseContactMatrix(mats, resolution=geom.bin_bp,
+                                shape=(geom.bins, geom.bins))
+    d = np.arange(geom.bins, dtype=np.float64)
+    sampler = RandomWindowSampler(
+        gen, target, background_cis=np.exp(-1.2 * np.log1p(d) - 3.0),
+        background_trans=float(np.exp(-9.0)),
+        sequence_length=geom.window_bp, position_resolution=geom.bin_bp,
+        random_strand=False, cross_chromosome=True, permute_segments=False,
+        validation_holdout=["chr3"], test_holdout=[], seed=0,
+        packed_sequence=True,
+    )
+    cfg = StageCConfig(geometry=geom, levels=levels, encoder_block_bp=None)
+    loop = LoopConfig(workdir=workdir, lr=0.002, batch_size=accumulate,
+                      checkpoint_every=1000, validate_every=1000,
+                      val_batches=1)
+    mesh = multihost.make_multihost_mesh(seq_per_host=2)
+    return StageCTrainer(cfg, loop, sampler, trainable, frozen,
+                         nan_skip=1.1, accumulate=accumulate, mesh=mesh)
+
+
 def main():
     proc_id, nproc, port = (int(a) for a in sys.argv[1:4])
     workdir = sys.argv[4]
     local_devices, steps = int(sys.argv[5]), int(sys.argv[6])
+    stage = sys.argv[7] if len(sys.argv) > 7 else "a"
 
     # sitecustomize registers the axon TPU at interpreter startup and pins
     # JAX_PLATFORMS; env vars set here are too late — force the CPU
@@ -82,9 +174,12 @@ def main():
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert jax.process_count() == nproc, jax.process_count()
 
-    import numpy as np
-
-    tr = build_trainer(workdir, batch_size=8, steps=steps)
+    if stage == "a":
+        tr = build_trainer(workdir, batch_size=8, steps=steps)
+        watched = lambda: tr.params  # noqa: E731
+    else:
+        tr = build_trainer_c(workdir, accumulate=4)
+        watched = lambda: tr.trainable  # noqa: E731
     losses = []
     while tr.step < steps:
         m = tr.run(max_steps=tr.step + 1)
@@ -93,18 +188,10 @@ def main():
     tr.save()  # collective on multi-process runs: every process calls it
 
     if jax.process_index() == 0:
-        with open(os.path.join(workdir, f"losses.n{nproc}.json"), "w") as f:
+        name = f"losses.{stage}.n{nproc}.json"
+        with open(os.path.join(workdir, name), "w") as f:
             json.dump({"losses": losses, "val_pearson": float(corr),
-                       "param_sum": float(np.asarray(jax.tree.reduce(
-                           lambda a, b: a + b,
-                           jax.tree.map(
-                               lambda x: jax.numpy.sum(
-                                   x.astype(jax.numpy.float64)
-                               ),
-                               tr.params,
-                           ),
-                       )))},
-                      f)
+                       "param_sum": param_sum(watched())}, f)
     if nproc > 1:
         jax.distributed.shutdown()
 

@@ -168,3 +168,31 @@ def test_certify_synthetic_scaled():
     diffs = report["mpos_frac_0.5"]["max_abs_diff"]
     assert set(diffs) == {32, 16, 8, 4, 2, 1}
     assert report["mpos_frac_0.5"]["starts_equal"]
+
+
+def test_certify_synthetic_1m_scaled():
+    """certify_synthetic_1m flow at a scaled window (production is the
+    full 1Mb Net on the accelerator; same code path)."""
+    from orca_tpu.certify import certify_synthetic_1m
+
+    report = certify_synthetic_1m(REFERENCE_DIR, seed=5, seq_len=128_000)
+    assert report["pass"], report
+    assert set(report["max_abs_diff"]) == {"2d", "1d"}
+
+
+def test_certify_synthetic_256m_scaled():
+    """certify_synthetic_256m flow at scaled geometry, including an
+    active chromosome-bound zoom clamp (the second mpos frac sits at the
+    chromosome end) and the RC start-index mirror."""
+    from orca_tpu.certify import certify_synthetic_256m
+
+    geom256 = CascadeGeometry(window_bp=4_096_000, bin_bp=32_000, crop=4)
+    report = certify_synthetic_256m(
+        REFERENCE_DIR, seed=7, geometry=geom256, chrlen=2_496_000,
+    )
+    assert report["pass"], report
+    for frac in (0.44, 0.995):
+        sub = report[f"mpos_frac_{frac}"]
+        assert set(sub["max_abs_diff"]) == {256, 128, 64, 32}
+        assert sub["starts_equal"]
+    assert report["geometry"]["chrlen"] == 2_496_000

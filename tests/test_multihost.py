@@ -38,13 +38,9 @@ def test_shard_batch_places_on_data_axis():
     np.testing.assert_array_equal(np.asarray(yd), y)
 
 
-def test_true_two_process_training(tmp_path):
-    """A REAL 2-process jax.distributed run (not monkeypatched): two
-    subprocess workers with 4 CPU devices each train stage-a for 3 steps
-    on an 8-device global mesh. Asserts the loss trajectory matches a
-    1-process run of the same global batch (global-batch semantics:
-    identically-seeded samplers + local_batch_slice), the collective orbax
-    checkpoint restores, and process 0 alone writes metrics."""
+def _run_rig(workdir, nproc, local_devices, steps, stage):
+    """Launch an N-process jax.distributed training rig of subprocess
+    workers and return process 0's losses/val/param-checksum record."""
     import json
     import os
     import socket
@@ -52,33 +48,44 @@ def test_true_two_process_training(tmp_path):
     import sys
 
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(nproc), str(port),
+             str(workdir), str(local_devices), str(steps), stage],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for i in range(nproc)
+    ]
+    outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o[-4000:]
+    with open(os.path.join(workdir, f"losses.{stage}.n{nproc}.json")) as f:
+        return json.load(f), outs
+
+
+def test_true_two_process_training(tmp_path):
+    """A REAL 2-process jax.distributed run (not monkeypatched): two
+    subprocess workers with 4 CPU devices each train stage-a for 3 steps
+    on an 8-device global mesh. Asserts the loss trajectory matches a
+    1-process run of the same global batch (global-batch semantics:
+    identically-seeded samplers + local_batch_slice), the collective orbax
+    checkpoint restores IN THIS fresh process to the writer's exact
+    parameters, and process 0 alone writes metrics."""
+    import json
+
+    from multihost_worker import build_trainer, param_sum
+
     steps = 3
-
-    def run_rig(nproc, local_devices, workdir):
-        with socket.socket() as s:
-            s.bind(("127.0.0.1", 0))
-            port = s.getsockname()[1]
-        env = {k: v for k, v in os.environ.items()
-               if k not in ("JAX_PLATFORMS", "XLA_FLAGS", "JAX_NUM_CPU_DEVICES")}
-        procs = [
-            subprocess.Popen(
-                [sys.executable, worker, str(i), str(nproc), str(port),
-                 str(workdir), str(local_devices), str(steps)],
-                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-            )
-            for i in range(nproc)
-        ]
-        outs = [p.communicate(timeout=1200)[0].decode() for p in procs]
-        for p, o in zip(procs, outs):
-            assert p.returncode == 0, o[-4000:]
-        with open(os.path.join(workdir, f"losses.n{nproc}.json")) as f:
-            return json.load(f), outs
-
     d1 = tmp_path / "single"
     d2 = tmp_path / "dual"
     d1.mkdir(), d2.mkdir()
-    ref, _ = run_rig(1, 8, d1)
-    got, _ = run_rig(2, 4, d2)
+    ref, _ = _run_rig(d1, 1, 8, steps, "a")
+    got, _ = _run_rig(d2, 2, 4, steps, "a")
 
     # step 1 sees the identical global batch -> near-exact loss; later
     # steps drift slightly (gradient all-reduce order differs between the
@@ -92,17 +99,59 @@ def test_true_two_process_training(tmp_path):
         got["param_sum"], ref["param_sum"], rtol=1e-3
     )
 
-    # only process 0 wrote the losses file and metrics JSONL rows once
-    assert not (d2 / "losses.n2.json.p1").exists()
-    metrics = (d2 / "stage_a.metrics.jsonl")
-    if metrics.exists():
-        lines = metrics.read_text().splitlines()
-        stepvals = [json.loads(ln)["step"] for ln in lines]
-        assert len(stepvals) == len(set(stepvals)), "duplicate metric rows"
+    # only process 0 wrote the losses file, and it wrote metrics JSONL
+    # rows exactly once (no duplicate steps from process 1)
+    assert not (d2 / "losses.a.n2.json.p1").exists()
+    metrics = d2 / "stage_a.metrics.jsonl"
+    assert metrics.exists(), "process 0 must write the metrics JSONL"
+    lines = metrics.read_text().splitlines()
+    stepvals = [json.loads(ln)["step"] for ln in lines]
+    assert stepvals, "metrics JSONL is empty"
+    assert len(stepvals) == len(set(stepvals)), "duplicate metric rows"
 
-    # the collective orbax checkpoint restores in a fresh single process
-    from orca_tpu.training.loop import latest_checkpoint, restore_state
-    assert latest_checkpoint(str(d2)) is not None
+    # the collective checkpoint written by the 2-process run restores in
+    # THIS fresh single process to the writer's exact parameters
+    tr = build_trainer(str(d2), batch_size=8, steps=steps)
+    init_sum = param_sum(tr.params)
+    assert tr.try_restore(), "collective checkpoint failed to restore"
+    assert tr.step == steps
+    restored_sum = param_sum(tr.params)
+    assert restored_sum != init_sum  # actually loaded, not re-inited
+    np.testing.assert_allclose(restored_sum, got["param_sum"], rtol=1e-12)
+
+
+def test_true_two_process_stage_c(tmp_path):
+    """2-process stage-c: cross-chromosome sampler with per-sample
+    background normmats, a mesh with a REAL 'seq' axis (the frozen encoder
+    runs ppermute-halo sequence-sharded across the 4+4 topology), and the
+    fetch_global (process_allgather) validation path crossing processes.
+    Loss/val/params must match the 1-process run of the same global
+    batch."""
+    from multihost_worker import build_trainer_c, param_sum
+
+    steps = 2
+    d1 = tmp_path / "single"
+    d2 = tmp_path / "dual"
+    d1.mkdir(), d2.mkdir()
+    ref, _ = _run_rig(d1, 1, 8, steps, "c")
+    got, _ = _run_rig(d2, 2, 4, steps, "c")
+
+    np.testing.assert_allclose(got["losses"][0], ref["losses"][0], rtol=1e-5)
+    np.testing.assert_allclose(got["losses"], ref["losses"], rtol=2e-2)
+    np.testing.assert_allclose(
+        got["val_pearson"], ref["val_pearson"], atol=2e-2
+    )
+    np.testing.assert_allclose(
+        got["param_sum"], ref["param_sum"], rtol=1e-3
+    )
+
+    # the 2-process collective stage-c checkpoint restores here exactly
+    tr = build_trainer_c(str(d2), accumulate=4)
+    assert tr.try_restore(), "collective checkpoint failed to restore"
+    assert tr.step == steps
+    np.testing.assert_allclose(
+        param_sum(tr.trainable), got["param_sum"], rtol=1e-12
+    )
 
 
 def test_stage_a_trainer_on_mesh(tmp_path):
