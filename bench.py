@@ -149,6 +149,10 @@ def main():
         result["fp32_mb_per_s"] = round(32.0 / dt32, 3)
         result["fp32_seconds_per_window"] = round(dt32, 3)
         result["fp32_compile_s"] = round(compile32, 1)
+        # the standard 2-model (H1-ESC + HFF) predict at parity precision
+        # (BASELINE row 2 read strictly); reuses the fp32 programs
+        dt32_2, _ = _measure("float32", seq, mpos, wpos, 1, n_models=2)
+        result["fp32_two_model_mb_per_s"] = round(32.0 / dt32_2, 3)
 
     # 256Mb whole-chromosome cascade (BASELINE row 3) as secondary fields,
     # so the artifact records that configuration every round.
@@ -158,8 +162,28 @@ def main():
             result["mb_per_s_256m"] = round(256.0 / dt256, 3)
             result["seconds_per_256Mb_window"] = round(dt256, 3)
             result["compile_s_256m"] = round(compile256, 1)
+            if DTYPE != "float32" and not os.environ.get(
+                "ORCA_BENCH_SKIP_FP32"
+            ):
+                dt256_32, _ = _measure_256m("float32", 1)
+                result["fp32_mb_per_s_256m"] = round(256.0 / dt256_32, 3)
         except Exception as e:  # never lose the headline to a secondary
             result["bench_256m_error"] = f"{type(e).__name__}: {e}"
+
+    # training-step measurements at production geometry (BASELINE config 5
+    # is a training config; reference: 30+20 days on 4x V100,
+    # train/README.md:14) — scripts/bench_training.py inlined
+    if not os.environ.get("ORCA_BENCH_SKIP_TRAIN"):
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"
+        ))
+        try:
+            from bench_training import bench_stage_a, bench_stage_b
+
+            result.update(bench_stage_a(iters=3))
+            result.update(bench_stage_b(iters=2))
+        except Exception as e:
+            result["bench_train_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(result))
 

@@ -152,20 +152,9 @@ def _cast_bundle(bundle, dtype: str):
     """bf16 tolerance-report mode: cast the jax-side bundle to bfloat16 (the
     production serving precision) while the torch oracle stays fp32, so the
     reported max|Δ| measures the serving config's deviation."""
-    if dtype == "float32":
-        return bundle
-    import jax
-    import jax.numpy as jnp
+    from orca_tpu.models.zoo import cast_bundle
 
-    target = jnp.dtype(dtype)
-    # jnp.asarray, not ndarray.astype: numpy ml_dtypes bfloat16 arrays
-    # follow NUMPY promotion (bf16 + python float -> f32), silently
-    # upcasting activations mid-network; jax arrays keep weak-type rules
-    return jax.tree.map(
-        lambda x: jnp.asarray(x, target)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        bundle,
-    )
+    return cast_bundle(bundle, dtype)
 
 
 def _load_genome_or_raise(resource_dir: str):

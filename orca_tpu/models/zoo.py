@@ -455,6 +455,23 @@ def load_1m_bundle(model_dir: str, resource_dir: str, name: str) -> Model1MBundl
     )
 
 
+def cast_bundle(bundle, dtype: str):
+    """Cast a bundle's float32 leaves to `dtype` (bfloat16 = the production
+    serving precision; float32 = reference-parity, returned unchanged).
+
+    jnp.asarray, not ndarray.astype: numpy ml_dtypes bfloat16 arrays follow
+    NUMPY promotion (bf16 + python float -> f32), silently upcasting
+    activations mid-network; jax arrays keep weak-type rules."""
+    if dtype in ("float32", None):
+        return bundle
+    target = jnp.dtype(dtype)
+    return jax.tree.map(
+        lambda x: jnp.asarray(x, target)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        bundle,
+    )
+
+
 def save_bundle(bundle, path: str) -> None:
     host = jax.tree.map(np.asarray, bundle)
     with open(path, "wb") as f:

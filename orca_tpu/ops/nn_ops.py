@@ -38,6 +38,47 @@ def _default_precision(x: jax.Array, w: jax.Array):
     return lax.Precision.HIGHEST
 
 
+def _shift1d(x: jax.Array, d: int) -> jax.Array:
+    """x shifted so out[l] = x[l+d], zero-padded at the edges."""
+    n, l, c = x.shape
+    xs = jnp.pad(x, ((0, 0), (max(-d, 0), max(d, 0)), (0, 0)))
+    return lax.slice(xs, (0, max(d, 0), 0), (n, max(d, 0) + l, c))
+
+
+def _conv1d_shifted_matmul(x: jax.Array, w: jax.Array, b,
+                           dilation: int) -> jax.Array:
+    """Odd-k 'same' conv1d as k shifted matmuls, f32-accumulated.
+
+    The decisive property is the TRANSPOSE: XLA's weight-gradient of a
+    long-sequence NWC conv_general materializes an (N*, L, Cin, K) patch
+    tensor — 18.4GB for the stage-a (4, 1Mb, 64ch, k=9) backward, an
+    instant OOM on a 16GB chip — while this formulation's backward is k
+    shifted (N*L, C)@(C, C) dots with no patch tensor (dW_i is a streamed
+    MXU reduction). Forward numerics equal conv_general to within
+    accumulation order (f32 tap accumulation; fp32 inputs use the 6-pass
+    HIGHEST dots, bf16 the native MXU pass), same contract as
+    _conv2d_k3_matmul."""
+    prec = _default_precision(x, w)
+    k = w.shape[0]
+    half = (k - 1) // 2
+    acc = None
+    for i in range(k):
+        t = jnp.einsum(
+            "nlc,co->nlo",
+            _shift1d(x, (i - half) * dilation),
+            w[i],
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        acc = t if acc is None else acc + t
+    if b is not None:
+        acc = acc + b.astype(jnp.float32)
+    out_dtype = (
+        jnp.result_type(x, w) if b is None else jnp.result_type(x, w, b)
+    )
+    return acc.astype(out_dtype)
+
+
 def conv1d(
     x: jax.Array,
     w: jax.Array,
@@ -49,8 +90,23 @@ def conv1d(
     """1D convolution, torch Conv1d semantics with 'same' padding for odd k.
 
     x: (N, L, Cin); w: (K, Cin, Cout); b: (Cout,).
+
+    On TPU backends odd-k convs route through the shifted-matmul
+    formulation (see _conv1d_shifted_matmul): same accumulation-order
+    numerics, and its autodiff transpose avoids conv_general's
+    patch-tensor weight gradient (the stage-a trainable-encoder OOM).
+    default_backend() is a trace-time approximation (see conv2d).
     """
     k = w.shape[0]
+    if (
+        k % 2 == 1 and precision is None
+        and (
+            x.dtype == jnp.bfloat16
+            or (x.dtype == jnp.float32
+                and jax.default_backend() == "tpu")
+        )
+    ):
+        return _conv1d_shifted_matmul(x, w, b, dilation)
     pad = dilation * (k - 1) // 2
     out = lax.conv_general_dilated(
         x,

@@ -45,34 +45,60 @@ class OrcaResources:
         raise ValueError(f"unknown assembly {assembly!r}")
 
 
+def _bundle_path(model_dir: str, key: str) -> Optional[str]:
+    """Path of a pre-converted native bundle (``orca-tpu convert --out
+    <model_dir>/orca_<key>.bundle``) if present. Preferred over the torch
+    statedict path: loads without torch, already folded."""
+    p = os.path.join(model_dir, f"orca_{key}.bundle")
+    return p if os.path.exists(p) else None
+
+
 def load_resources(models=("32M",), model_dir: Optional[str] = None,
                    resource_dir: Optional[str] = None,
-                   use_memmapgenome: bool = True) -> OrcaResources:
+                   use_memmapgenome: bool = True,
+                   dtype: Optional[str] = None) -> OrcaResources:
     """Load requested model families ('32M', '1M', '256M') plus genome and
-    observed micro-C target handles when the resource files exist."""
+    observed micro-C target handles when the resource files exist.
+
+    Each model loads from a pre-converted ``orca_<name>.bundle`` when one
+    exists in model_dir (no torch dependency), else from the reference
+    statedicts. dtype (default: config param_dtype / ORCA_TPU_PARAM_DTYPE)
+    selects the serving precision: 'bfloat16' is the production config,
+    'float32' reference parity."""
     cfg = get_config()
     model_dir = model_dir or cfg.model_dir
     resource_dir = resource_dir or cfg.resource_dir
+    dtype = dtype or cfg.param_dtype
 
     out_models: Dict[str, object] = {}
     wanted = {m.lower() for m in models}
+
+    def load(key, fallback, *a):
+        p = _bundle_path(model_dir, key)
+        return zoo.load_bundle(p) if p else fallback(*a)
+
     if "32m" in wanted:
         for name in ("h1esc", "hff"):
-            out_models[name] = zoo.load_32m_bundle(model_dir, resource_dir, name)
+            out_models[name] = load(
+                name, zoo.load_32m_bundle, model_dir, resource_dir, name
+            )
         hct = os.path.join(model_dir, "orca_hctnoc.net.statedict")
-        if os.path.exists(hct):
-            out_models["hctnoc"] = zoo.load_32m_bundle(
-                model_dir, resource_dir, "hctnoc"
+        if _bundle_path(model_dir, "hctnoc") or os.path.exists(hct):
+            out_models["hctnoc"] = load(
+                "hctnoc", zoo.load_32m_bundle, model_dir, resource_dir,
+                "hctnoc",
             )
     if "1m" in wanted:
         for name in ("h1esc", "hff"):
-            out_models[f"{name}_1m"] = zoo.load_1m_bundle(
-                model_dir, resource_dir, name
+            out_models[f"{name}_1m"] = load(
+                f"{name}_1m", zoo.load_1m_bundle, model_dir, resource_dir,
+                name,
             )
     if "256m" in wanted:
         for name in ("h1esc", "hff"):
-            out_models[f"{name}_256m"] = zoo.load_256m_bundle(
-                model_dir, resource_dir, name
+            out_models[f"{name}_256m"] = load(
+                f"{name}_256m", zoo.load_256m_bundle, model_dir,
+                resource_dir, name,
             )
     if "leukemia" in wanted:
         # multi-cell-type leukemia bundles (orca_leukemia.py:1604-1873):
@@ -91,6 +117,10 @@ def load_resources(models=("32M",), model_dir: Optional[str] = None,
                 f"leukemia models requested but no orca_leukemia*.net"
                 f".statedict found in {model_dir}"
             )
+
+    if dtype and dtype != "float32":
+        out_models = {k: zoo.cast_bundle(b, dtype)
+                      for k, b in out_models.items()}
 
     genome = _load_genome(
         resource_dir, use_memmapgenome,

@@ -27,11 +27,12 @@ class OrcaConfig:
         reference's ``ORCA_PATH/resources``).
     model_dir:
         Directory holding converted model parameter files.
-    compute_dtype:
-        dtype used inside the conv towers. float32 matches the reference
-        numerics; bfloat16 roughly doubles MXU throughput at ~1e-2 tolerance.
     param_dtype:
-        dtype parameters are stored in.
+        dtype inference bundles are loaded in (the conv towers compute in
+        the parameter dtype). float32 matches the reference numerics;
+        bfloat16 is the production serving config (~2.3x fp32 on v5e at
+        ~1e-2 tolerance). Applied by predict.resources.load_resources;
+        override with ORCA_TPU_PARAM_DTYPE.
     encoder_block_bp:
         Sequence chunk length (bp) used when scanning the bp-resolution
         encoder to bound activation memory (reference Blocksize,
@@ -52,8 +53,7 @@ class OrcaConfig:
     extra_dir: str = os.environ.get(
         "ORCA_TPU_EXTRA", str(REPO_ROOT / "extra")
     )
-    compute_dtype: str = "float32"
-    param_dtype: str = "float32"
+    param_dtype: str = os.environ.get("ORCA_TPU_PARAM_DTYPE", "float32")
     # 800kb blocks batched ~20 at a time measure ~2-3x faster on v5e than
     # fewer/longer blocks (long spatial dims tile poorly); see bench history.
     encoder_block_bp: int = int(os.environ.get("ORCA_TPU_BLOCK_BP", 4000 * 200))

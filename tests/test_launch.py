@@ -228,6 +228,39 @@ def test_cli_train_stage_a_multi_head(tmp_path):
     assert os.path.isdir(os.path.join(workdir, "ckpt_2"))
 
 
+def test_load_resources_bundle_pickles_and_dtype(tmp_path):
+    """Pre-converted bundle pickles (the `orca-tpu convert` output) load
+    without torch statedicts, and dtype='bfloat16' casts the serving
+    params (the production config; the default comes from
+    ORCA_TPU_PARAM_DTYPE via OrcaConfig.param_dtype)."""
+    import jax.numpy as jnp
+
+    from orca_tpu.models import zoo
+    from orca_tpu.predict.resources import load_resources
+
+    model_dir = tmp_path / "models"
+    model_dir.mkdir()
+    for seed, name in ((0, "h1esc"), (1, "hff")):
+        zoo.save_bundle(
+            zoo.fold_bundle(zoo.random_32m_bundle(
+                seed=seed, nbins=256, crop=8)),
+            str(model_dir / f"orca_{name}.bundle"),
+        )
+    res = load_resources(models=["32M"], model_dir=str(model_dir),
+                         resource_dir=str(tmp_path), dtype="bfloat16")
+    assert set(res.models) == {"h1esc", "hff"}
+    w = res.models["h1esc"].encoder["lconv"][0][0]["w"]
+    assert w.dtype == jnp.bfloat16
+    # normmats stay float64/float32 host arrays usable by the pipelines
+    assert res.models["hff"].normmats[1].shape == (8, 8)
+
+    res32 = load_resources(models=["32M"], model_dir=str(model_dir),
+                           resource_dir=str(tmp_path), dtype="float32")
+    assert res32.models["h1esc"].encoder["lconv"][0][0]["w"].dtype == (
+        jnp.float32
+    )
+
+
 def test_load_resources_leukemia_missing_raises(tmp_path):
     """Explicitly requesting leukemia models without the statedicts fails
     with a clear error (not a silent empty model dict)."""
