@@ -163,6 +163,7 @@ def apply_decoder(
     rng: Optional[jax.Array] = None,
     bn_updates: Optional[BNUpdates] = None,
     path: str = "",
+    remat_blocks: bool = False,
 ) -> jax.Array:
     """Per-level decoder forward (reference Decoder.forward,
     orca_modules.py:461-488).
@@ -170,19 +171,46 @@ def apply_decoder(
     x: (N, 250, 128) encoding crop; distenc: (N, 250, 250, num_2d) log
     background; y: optional (N, 125, 125, num_2d) coarse prediction from the
     parent level. Returns (N, 250, 250, num_2d) symmetric map.
+
+    remat_blocks (training): jax.checkpoint every block, saving only each
+    block's 15.6MB input for the backward. Decisive at production
+    geometry: the six cascade decoders' backwards are data-independent
+    (stop_gradient coarse), so XLA overlaps them — with full residuals
+    that is ~6 x 2.6GB and a whole-decoder checkpoint doesn't help (the
+    six recomputes overlap the same way); per-block granularity caps the
+    overlap at 6 x ~0.5GB of saved inputs.
     """
     spec = decoder_spec(num_2d)
     pre = f"{path}/" if path else ""
     kw = dict(train=train, rng=rng, bn_updates=bn_updates)
 
+    if train and remat_blocks:
+        def _ckblock(p, b, cur, bpath):
+            def f(p, cur):
+                local = BNUpdates()
+                out = apply_block(p, b, cur, train=True, rng=rng,
+                                  bn_updates=local, path=bpath)
+                return out, local.updates
+
+            out, upd = jax.checkpoint(f)(p, cur)
+            if bn_updates is not None:
+                bn_updates.updates.update(upd)
+            return out
+
+        def apply_block_(p, b, cur, path, **_kw):  # noqa: ANN001
+            return _ckblock(p, b, cur, path)
+    else:
+        def apply_block_(p, b, cur, path, **kw2):
+            return apply_block(p, b, cur, path=path, **kw2)
+
     distenc = distenc.astype(x.dtype)
     if y is not None:
         y = y.astype(x.dtype)
     mat = jnp.concatenate([pairwise(x), distenc], axis=-1)
-    mat = apply_block(params["lcombinerD"], spec["lcombinerD"], mat,
-                      path=f"{pre}lcombinerD", **kw)
-    mat = apply_block(params["combinerD"], spec["combinerD"], mat,
-                      path=f"{pre}combinerD", **kw) + mat
+    mat = apply_block_(params["lcombinerD"], spec["lcombinerD"], mat,
+                       f"{pre}lcombinerD", **kw)
+    mat = apply_block_(params["combinerD"], spec["combinerD"], mat,
+                       f"{pre}combinerD", **kw) + mat
 
     if y is not None:
         mat = jnp.concatenate([mat, _upsample_coarse(y, upsample_mode)], axis=-1)
@@ -198,20 +226,20 @@ def apply_decoder(
             if y is not None:
                 # With a coarse pred, the first dilation block is replaced by
                 # the combiner pair (orca_modules.py:472-478).
-                cur = apply_block(params["lcombiner"], spec["lcombiner"], cur,
-                                  path=f"{pre}lcombiner", **kw)
+                cur = apply_block_(params["lcombiner"], spec["lcombiner"],
+                                   cur, f"{pre}lcombiner", **kw)
                 cur = (
-                    apply_block(params["combiner"], spec["combiner"], cur,
-                                path=f"{pre}combiner", **kw)
+                    apply_block_(params["combiner"], spec["combiner"], cur,
+                                 f"{pre}combiner", **kw)
                     + cur
                 )
             else:
-                cur = apply_block(lp, lb, cur, path=f"{pre}lconvtwos/{i}", **kw)
-                cur = apply_block(cp, cb, cur, path=f"{pre}convtwos/{i}",
-                                  **kw) + cur
+                cur = apply_block_(lp, lb, cur, f"{pre}lconvtwos/{i}", **kw)
+                cur = apply_block_(cp, cb, cur, f"{pre}convtwos/{i}",
+                                   **kw) + cur
         else:
-            cur = apply_block(lp, lb, cur, path=f"{pre}lconvtwos/{i}", **kw) + cur
-            cur = apply_block(cp, cb, cur, path=f"{pre}convtwos/{i}", **kw) + cur
+            cur = apply_block_(lp, lb, cur, f"{pre}lconvtwos/{i}", **kw) + cur
+            cur = apply_block_(cp, cb, cur, f"{pre}convtwos/{i}", **kw) + cur
     if n_unroll < len(spec["lconvtwos"]):
         cur = _scan_repeated_groups(
             cur,
@@ -220,8 +248,8 @@ def apply_decoder(
             spec["convtwos"][n_unroll : n_unroll + group_len],
             group_len,
         )
-    cur = apply_block(params["final"], spec["final"], cur,
-                      path=f"{pre}final", **kw)
+    cur = apply_block_(params["final"], spec["final"], cur,
+                       f"{pre}final", **kw)
     return symmetrize(cur)
 
 

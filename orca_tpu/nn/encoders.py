@@ -386,8 +386,15 @@ def apply_encoder_tower(
     seg_bp = block_bp + 2 * halo_bp
 
     # Pad with the left halo and enough tail for the last (partial) block.
+    # Concatenate-with-zeros rather than jnp.pad: XLA fuses a concat
+    # consuming a jit parameter into the downstream slice reads, while a
+    # pad-of-parameter materializes a tiled copy of the operand whose
+    # 4-wide minor dim lane-pads 32x (a 256Mb uint8 window = 32GB, OOM;
+    # measured both ways on v5e).
     pad_tail = nblocks * block_bp - length + halo_bp
-    xp = jnp.pad(x, ((0, 0), (halo_bp, pad_tail), (0, 0)))
+    zl = jnp.zeros((n, halo_bp, x.shape[2]), x.dtype)
+    zr = jnp.zeros((n, pad_tail, x.shape[2]), x.dtype)
+    xp = jnp.concatenate([zl, x, zr], axis=1)
 
     # Work-per-scan-step: `block_group`/_default_block_group cap the
     # in-flight extent in ROWS of sequence (nblocks*n (block, batch-row)
@@ -415,8 +422,18 @@ def apply_encoder_tower(
             lax.dynamic_slice_in_dim(xp, r0, rchunk, axis=0)
             if rchunk < n else xp
         )
+        # ONE wide dynamic-slice per group, then static overlapping cuts:
+        # concatenating multiple dynamic-slices of the big padded array
+        # makes XLA materialize the operand in its tiled layout — whose
+        # 4-wide minor dim lane-pads 32x (a 256Mb uint8 window becomes a
+        # 32GB copy, instant OOM; measured — the single-slice form fuses
+        # pad+slice into the read and the input stays linear).
+        wide = lax.dynamic_slice_in_dim(
+            xr, b0 * block_bp, bpg * block_bp + 2 * halo_bp, axis=1
+        )
         segs = [
-            lax.dynamic_slice_in_dim(xr, (b0 + j) * block_bp, seg_bp, axis=1)
+            lax.slice_in_dim(wide, j * block_bp, j * block_bp + seg_bp,
+                             axis=1)
             for j in range(bpg)
         ]
         seg = jnp.concatenate(segs, axis=0) if bpg > 1 else segs[0]

@@ -138,6 +138,11 @@ class StageBConfig:
     up_pass: bool = True  # Encoder2 (True) or Encoder2b (HCTnoc variant)
     use_1pt: bool = True  # add frozen Decoder_1m head at level 1
     upsample_mode: str = "nearest"  # training decoders default (Decoder())
+    # rematerialize each trainable decoder in the backward: without it the
+    # six 28-block decoders' saved residuals alone exceed a 16GB chip at
+    # production geometry (18.35G measured); with it only one decoder's
+    # residuals are ever live (jax.checkpoint per level)
+    remat: bool = True
     # multi-cell-type heads (leukemia variants: one dataset per head,
     # num_2d-channel decoders and distance encodings, orca_leukemia.py);
     # targets/normmats gain a (num_2d,) axis after batch/level
@@ -176,6 +181,19 @@ def make_stage_b_step(cfg: StageBConfig, encoder_fn=None):
                 p, s, block_bp=cfg.encoder_block_bp
             )
 
+    def run_decoder(dec_params, enc_crop, distenc, coarse, rng_j, path):
+        """One trainable decoder; cfg.remat checkpoints per BLOCK inside
+        (see apply_decoder remat_blocks — whole-decoder checkpoints don't
+        cap memory because the six levels' backwards overlap)."""
+        local = BNUpdates()
+        pred = decoders.apply_decoder(
+            dec_params, enc_crop, distenc, coarse,
+            num_2d=cfg.num_2d, upsample_mode=cfg.upsample_mode,
+            train=True, rng=rng_j, bn_updates=local, path=path,
+            remat_blocks=cfg.remat,
+        )
+        return pred, local.updates
+
     def cascade_loss(trainable, frozen, seq, target, rng, normmats, epss):
         bn = BNUpdates()
         feats = encoder_fn(frozen["encoder"], seq)
@@ -197,12 +215,11 @@ def make_stage_b_step(cfg: StageBConfig, encoder_fn=None):
             enc_crop = jax.lax.dynamic_slice_in_dim(
                 encs[level], start // level, crop, axis=1
             )
-            pred = decoders.apply_decoder(
+            pred, dec_bn = run_decoder(
                 trainable["decoders"][level], enc_crop, distenc, coarse,
-                num_2d=cfg.num_2d, upsample_mode=cfg.upsample_mode,
-                train=True, rng=rngs[j], bn_updates=bn,
-                path=f"decoders/{level}",
+                rngs[j], f"decoders/{level}",
             )
+            bn.updates.update(dec_bn)
             if level == 1 and cfg.use_1pt and frozen.get("decoder_1pt") is not None:
                 pred = pred + decoders.apply_decoder1m(
                     frozen["decoder_1pt"], enc_crop, num_2d=cfg.num_2d
@@ -377,6 +394,7 @@ class StageCConfig:
     momentum: float = 0.98
     encoder_block_bp: Optional[int] = 800_000
     upsample_mode: str = "nearest"
+    remat: bool = True  # see StageBConfig.remat
 
 
 def make_stage_c_step(cfg: StageCConfig, encoder_fn=None):
@@ -396,6 +414,16 @@ def make_stage_c_step(cfg: StageCConfig, encoder_fn=None):
             return encoders.apply_encoder_tower(
                 p, s, block_bp=cfg.encoder_block_bp
             )
+
+    def run_decoder(dec_params, enc_crop, distenc, coarse, rng_j, path):
+        """See make_stage_b_step.run_decoder: per-block remat inside."""
+        local = BNUpdates()
+        pred = decoders.apply_decoder(
+            dec_params, enc_crop, distenc, coarse,
+            upsample_mode=cfg.upsample_mode, train=True, rng=rng_j,
+            bn_updates=local, path=path, remat_blocks=cfg.remat,
+        )
+        return pred, local.updates
 
     def cascade_loss(trainable, frozen, seq, target, normmat, rng):
         bn = BNUpdates()
@@ -425,11 +453,11 @@ def make_stage_c_step(cfg: StageCConfig, encoder_fn=None):
             enc_crop = jax.lax.dynamic_slice_in_dim(
                 encs[level], start // factor, crop, axis=1
             )
-            pred = decoders.apply_decoder(
+            pred, dec_bn = run_decoder(
                 trainable["decoders"][level], enc_crop, distenc, coarse,
-                upsample_mode=cfg.upsample_mode, train=True, rng=rngs[j],
-                bn_updates=bn, path=f"decoders/{level}",
+                rngs[j], f"decoders/{level}",
             )
+            bn.updates.update(dec_bn)
             eps = jnp.nanmin(normmat_r)
             tlog = losses.log_fold_target(target_r, normmat_r, eps)
             lvl_loss = losses.masked_mse(pred[..., 0], tlog,

@@ -35,6 +35,32 @@ def param_sum(params) -> float:
     )))
 
 
+def weight_l1(params) -> float:
+    """L1 over WEIGHTS only (BN running mean/var excluded): the
+    cross-topology robust checksum. Train-mode BN batch stats amplify the
+    collective-implementation reduction-order difference (4-local vs
+    2+2-gloo) ~1e-7 -> ~1e-3 through ~20 normalization layers, and the
+    running stats (absolute activation variances) inherit it at full
+    scale, so a stats-inclusive checksum drifts percent-level between
+    topologies while the weights stay 1e-5-close (measured; see
+    test_true_two_process_stage_c)."""
+    import jax
+    from jax.tree_util import tree_flatten_with_path
+
+    leaves, _ = tree_flatten_with_path(params)
+    total = 0.0
+    for path, leaf in leaves:
+        last = getattr(path[-1], "key", None)
+        if last in ("mean", "var"):
+            continue
+        total = total + jax.numpy.sum(
+            jax.numpy.abs(leaf.astype(jax.numpy.float64))
+        )
+    import numpy as np
+
+    return float(np.asarray(total))
+
+
 def build_trainer(workdir, batch_size, steps):
     import numpy as np
 
@@ -89,7 +115,12 @@ def build_trainer_c(workdir, accumulate):
     from orca_tpu.training.loop import LoopConfig, StageCTrainer
     from orca_tpu.training.stages import StageCConfig
 
-    levels = (256, 128, 64, 32)
+    # 2-level prefix, same trade as __graft_entry__.dryrun_multichip: the
+    # full 4-level compile on an oversubscribed 2-core host skews the two
+    # processes' arrival at the first collective beyond gloo's 30s
+    # rendezvous budget; the 2-level step exercises the same structure
+    # (per-sample normmats, seq-sharded frozen tower, coarse chain, grads)
+    levels = (256, 128)
     geom = CascadeGeometry(window_bp=2_048_000, bin_bp=32_000, crop=2)
 
     ke, kp1, kp, kd = jax.random.split(jax.random.PRNGKey(11), 4)
@@ -173,13 +204,31 @@ def main():
         )
     assert jax.default_backend() == "cpu", jax.default_backend()
     assert jax.process_count() == nproc, jax.process_count()
+    if nproc > 1:
+        # Create the cross-process gloo context NOW, while the processes
+        # are still in lock-step: its rendezvous has a 30s deadline, and
+        # the first collective of the big training program would otherwise
+        # pay it after minutes of (skewed) per-process compilation.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("worker-start")
 
     if stage == "a":
         tr = build_trainer(workdir, batch_size=8, steps=steps)
         watched = lambda: tr.params  # noqa: E731
     else:
-        tr = build_trainer_c(workdir, accumulate=4)
+        # accumulate == data-axis extent (device_count / seq 2); the
+        # stage-c rig runs 4 global devices, not 8: on the 2-core host,
+        # 8 heavy device threads across 2 processes starve XLA:CPU's
+        # 40s all-reduce rendezvous (observed SIGABRT in rendezvous.cc)
+        tr = build_trainer_c(workdir, accumulate=max(1, jax.device_count() // 2))
         watched = lambda: tr.trainable  # noqa: E731
+    # pre-training validation: params are identical across topologies at
+    # step 0 and the eval-mode forward has no train-BN amplification, so
+    # this pins the cross-process fetch_global/process_allgather eval
+    # path near-exactly (post-training val on the scaled rigs is noise:
+    # topology-divergent BN stats + tiny maps)
+    corr0 = tr.validate()
     losses = []
     while tr.step < steps:
         m = tr.run(max_steps=tr.step + 1)
@@ -191,7 +240,9 @@ def main():
         name = f"losses.{stage}.n{nproc}.json"
         with open(os.path.join(workdir, name), "w") as f:
             json.dump({"losses": losses, "val_pearson": float(corr),
-                       "param_sum": param_sum(watched())}, f)
+                       "val_pearson0": float(corr0),
+                       "param_sum": param_sum(watched()),
+                       "weight_l1": weight_l1(watched())}, f)
     if nproc > 1:
         jax.distributed.shutdown()
 
