@@ -110,7 +110,7 @@ def _init_from_spec(rng, spec, dtype):
 
 
 def _scan_repeated_groups(cur, lparams, cparams, lblocks, cblocks,
-                          group_len: int):
+                          group_len: int, first_flags=None):
     """Run trailing dilation groups as a `lax.scan` over stacked params.
 
     The reference decoders repeat an identical sub-schedule of dilations
@@ -120,6 +120,15 @@ def _scan_repeated_groups(cur, lparams, cparams, lblocks, cblocks,
     per-decoder graph roughly in half (cold-compile fix). Inference-mode
     only: params are stacked per call (free under jit), so checkpoints and
     the train-mode unrolled path are unchanged.
+
+    first_flags: optional (n_groups,) 0/1 scalars gating the residual add
+    of each group's FIRST l-block (`r + flag*c`). The no-coarse decoder's
+    very first block is the one block without a residual
+    (orca_modules.py:480: `cur = lconvtwos[0](mat)`), so passing
+    [0, 1, 1, ...] lets ALL groups share one scan body instead of
+    unrolling group 0 — the unrolled first group dominated the fp32
+    cold compile (measured 100.3s -> scan-body cost; exact numerics:
+    1.0*c == c and r + 0.0*c == r bitwise).
     """
     n_groups = len(lparams) // group_len
     group_trees = [
@@ -128,11 +137,17 @@ def _scan_repeated_groups(cur, lparams, cparams, lblocks, cblocks,
         for g in range(n_groups)
     ]
     groups = jax.tree.map(lambda *xs: jnp.stack(xs), *group_trees)
+    if first_flags is not None:
+        groups = (groups, jnp.asarray(first_flags, cur.dtype))
 
     def body(c, gp):
-        lps, cps = gp
+        if first_flags is not None:
+            (lps, cps), flag = gp
+        else:
+            (lps, cps), flag = gp, None
         for j in range(group_len):
-            c = apply_block(lps[j], lblocks[j], c) + c
+            r = apply_block(lps[j], lblocks[j], c)
+            c = r + (flag * c if (j == 0 and flag is not None) else c)
             c = apply_block(cps[j], cblocks[j], c) + c
         return c, None
 
@@ -216,9 +231,17 @@ def apply_decoder(
         mat = jnp.concatenate([mat, _upsample_coarse(y, upsample_mode)], axis=-1)
     cur = mat
     group_len = 7  # the dilation schedule repeats in groups of 7
-    # Inference: unroll only the first group, scan the 3 identical trailing
-    # groups (no per-block BN-update collection or dropout rngs needed).
-    n_unroll = group_len if not train else len(spec["lconvtwos"])
+    # Inference: scan the identical groups (no per-block BN-update
+    # collection or dropout rngs needed). Without a coarse pred all 4
+    # groups share one scan body (group 0's missing first residual is a
+    # 0/1 flag — see _scan_repeated_groups); with one, the combiner pair
+    # replaces block 0, so the first group stays unrolled.
+    if train:
+        n_unroll = len(spec["lconvtwos"])
+    elif y is None:
+        n_unroll = 0
+    else:
+        n_unroll = group_len
     for i in range(n_unroll):
         lb, lp = spec["lconvtwos"][i], params["lconvtwos"][i]
         cb, cp = spec["convtwos"][i], params["convtwos"][i]
@@ -247,6 +270,10 @@ def apply_decoder(
             spec["lconvtwos"][n_unroll : n_unroll + group_len],
             spec["convtwos"][n_unroll : n_unroll + group_len],
             group_len,
+            first_flags=(
+                [0.0] + [1.0] * (len(spec["lconvtwos"]) // group_len - 1)
+                if n_unroll == 0 else None
+            ),
         )
     cur = apply_block_(params["final"], spec["final"], cur,
                        f"{pre}final", **kw)

@@ -12,6 +12,7 @@ reuses one compilation.
 from __future__ import annotations
 
 import dataclasses
+import time
 from functools import partial
 from typing import Dict, List, Optional, Sequence
 
@@ -247,6 +248,119 @@ def _cascade_32mb(bundle: ModelBundle, geom: CascadeGeometry, seq, mpos, wpos,
         preds.append(pred)
     out = [_combine_orientations(p) for p in preds]
     return jnp.stack(out), jnp.stack([s[0] for s in starts])
+
+
+def warmup_cascade_32m(bundle: ModelBundle,
+                       geom: CascadeGeometry = GEOM_32M,
+                       n: int = 1, mesh=None, seq_dtype=jnp.uint8) -> float:
+    """Compile the 32Mb cascade's shared jit programs CONCURRENTLY.
+
+    A first `_cascade_32mb` call compiles its programs one after another
+    (encoder, then each decoder variant), so time-to-first-prediction is
+    their SUM — and on the axon backend every process pays it (persistent
+    compile cache unsupported, docs/ARCHITECTURE.md). The programs are
+    independent, so this warms them from a thread pool and the wall cost
+    is ~the largest single program. Dummy inputs match every production
+    shape/dtype (packed-uint8 sequence, param-dtype activations), so
+    subsequent predictions with `n` windows recompile nothing. Returns
+    elapsed seconds.
+    """
+    import concurrent.futures as cf
+
+    t0 = time.time()
+    pdt = jax.tree.leaves(bundle.encoder)[0].dtype
+    b = 2 * n
+    row = jnp.asarray(np.asarray(bundle.log_normmats())[0])
+    seq = jnp.zeros((n, geom.window_bp, 4), seq_dtype)
+    enc_crop = jnp.zeros((b, geom.crop, 128), pdt)
+    coarse = jnp.zeros((b, geom.half, geom.half, bundle.num_2d), pdt)
+    sb = jnp.zeros((b,), jnp.int32)
+    zf = jnp.float32(0.0)
+
+    def dec(params, dec_1pt, c):
+        return _decode_level_jit(
+            params, dec_1pt, enc_crop, geom, bundle.upsample_mode,
+            bundle.num_2d, jnp.int32(1), row, sb, zf, zf, c,
+        )
+
+    lvls = sorted(bundle.decoders, reverse=True)
+    tasks = [
+        lambda: _encode_32mb_jit(bundle, geom, seq, mesh),
+        lambda: dec(bundle.decoders[lvls[0]], None, None),
+    ]
+    if len(lvls) > 1:
+        tasks.append(lambda: dec(bundle.decoders[lvls[1]], None, coarse))
+    if bundle.decoder_1pt is not None and 1 in bundle.decoders:
+        tasks.append(
+            lambda: dec(bundle.decoders[1], bundle.decoder_1pt, coarse)
+        )
+    for lv in lvls:
+        tasks.append(partial(
+            lambda size: _crop_rows_jit(
+                jnp.zeros((b, size, 128), pdt), sb, geom.crop
+            ),
+            geom.bins // lv,
+        ))
+    tasks.append(lambda: _combine_orientations(
+        jnp.zeros((b, geom.crop, geom.crop, bundle.num_2d), pdt)
+    ))
+    with cf.ThreadPoolExecutor(max_workers=len(tasks)) as ex:
+        for f in [ex.submit(t) for t in tasks]:
+            jax.block_until_ready(f.result())
+    return time.time() - t0
+
+
+def warmup_cascade_256m(bundle: Model256MBundle,
+                        geom: CascadeGeometry = GEOM_256M,
+                        n: int = 1, mesh=None,
+                        seq_dtype=jnp.uint8) -> float:
+    """Concurrent program warm-up for the 256Mb cascade (see
+    `warmup_cascade_32m`). Returns elapsed seconds."""
+    import concurrent.futures as cf
+
+    t0 = time.time()
+    pdt = jax.tree.leaves(bundle.encoder)[0].dtype
+    b = 2 * n
+    seq = jnp.zeros((n, geom.window_bp, 4), seq_dtype)
+    enc_crop = jnp.zeros((b, geom.crop, 128), pdt)
+    coarse = jnp.zeros((b, geom.half, geom.half, 1), pdt)
+    normmat = jnp.zeros((geom.bins, geom.bins), jnp.float32)
+    normmat_r = jnp.zeros((b, geom.crop, geom.crop), jnp.float32)
+    sb = jnp.zeros((b,), jnp.int32)
+    zf = jnp.float32(0.0)
+
+    def dec(params, c):
+        return _decode_level_256_jit(
+            params, enc_crop, geom, bundle.upsample_mode, jnp.int32(4),
+            normmat_r, sb, zf, zf, zf, c,
+        )
+
+    lvls = sorted(bundle.decoders, reverse=True)
+    tasks = [
+        lambda: _encode_256mb_jit(bundle, geom, seq, mesh),
+        lambda: dec(bundle.decoders[lvls[0]], None),
+    ]
+    if len(lvls) > 1:
+        tasks.append(lambda: dec(bundle.decoders[lvls[1]], coarse))
+    for j in range(len(lvls)):
+        factor = geom.bins // (geom.crop * 2 ** j)
+        tasks.append(partial(
+            lambda f_: _block_average_rows_jit(normmat, sb, f_, geom.crop),
+            factor,
+        ))
+        tasks.append(partial(
+            lambda size: _crop_rows_jit(
+                jnp.zeros((b, size, 128), pdt), sb, geom.crop
+            ),
+            geom.crop * 2 ** j,
+        ))
+    tasks.append(lambda: _combine_orientations(
+        jnp.zeros((b, geom.crop, geom.crop, 1), pdt)
+    ))
+    with cf.ThreadPoolExecutor(max_workers=len(tasks)) as ex:
+        for f in [ex.submit(t) for t in tasks]:
+            jax.block_until_ready(f.result())
+    return time.time() - t0
 
 
 def _downsample_target(target: np.ndarray, start: int, factor: int,

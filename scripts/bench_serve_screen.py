@@ -16,8 +16,10 @@ owns the chip.
 Usage: python scripts/bench_serve_screen.py [N] [--json SMOKE_r05.json]
 """
 
+import atexit
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -74,14 +76,33 @@ def main(n_variants=10, json_path=None):
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
     proc = subprocess.Popen(
         [sys.executable, "-m", "orca_tpu.cli", "serve",
-         "--model-dir", model_dir, "--resource-dir", resource_dir],
+         "--model-dir", model_dir, "--resource-dir", resource_dir,
+         "--prewarm", "32M"],
         stdin=subprocess.PIPE, stdout=subprocess.PIPE, text=True, env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
 
+    # A surviving server holds the whole 16GB chip and starves the next
+    # run (observed: two servers sharing the chip halve throughput), so
+    # tear it down on ANY parent exit — including `timeout`'s SIGTERM.
+    def _cleanup(*_a):
+        if proc.poll() is None:
+            proc.terminate()
+            try:
+                proc.wait(timeout=10)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+        if _a:  # invoked as a signal handler
+            sys.exit(143)
+
+    atexit.register(_cleanup)
+    signal.signal(signal.SIGTERM, _cleanup)
+
     def send(line):
         proc.stdin.write(line + "\n")
         proc.stdin.flush()
+
+    warm_lines = []
 
     def wait_for(tokens=("OK", "ERR", "READY")):
         while True:
@@ -89,14 +110,18 @@ def main(n_variants=10, json_path=None):
             if not line:
                 raise RuntimeError("server exited early")
             line = line.strip()
+            if line.startswith("WARM"):
+                warm_lines.append(line)
             if any(line.startswith(t) for t in tokens):
                 return line
 
+    # --prewarm compiles the cascade programs concurrently BEFORE READY,
+    # so ready_s is the full time-to-service (load + parallel compile)
     t0 = time.time()
     assert wait_for(("READY",)) == "READY"
     ready_s = time.time() - t0
 
-    # warmup: first command pays all compilation
+    # first command: everything already compiled, so this is ~steady-state
     t0 = time.time()
     send(f"region chr8:16900000-17100000 {out} --no-target")
     line = wait_for()
@@ -122,9 +147,16 @@ def main(n_variants=10, json_path=None):
     send("quit")
     proc.wait(timeout=60)
 
+    prewarm_s = None
+    if warm_lines:  # "WARM 32M 61.2s"
+        try:
+            prewarm_s = float(warm_lines[0].split()[-1].rstrip("s"))
+        except ValueError:
+            pass
     fields = {
         "serve_ready_s": round(ready_s, 1),
-        "serve_warmup_s_incl_compile": round(warmup_s, 1),
+        "serve_prewarm_s": prewarm_s,
+        "serve_first_command_s": round(warmup_s, 1),
         "serve_n_variants": n_variants,
         "serve_seconds_per_variant": round(screen_s / n_variants, 2),
         "serve_dtype": "bfloat16",

@@ -38,10 +38,12 @@ def main():
     from orca_tpu.predict import multiscale as ms
     from orca_tpu.predict.multiscale import GEOM_32M
 
+    # ORCA_PROFILE_DTYPE=float32 profiles the parity-precision programs
+    dtype = jnp.dtype(os.environ.get("ORCA_PROFILE_DTYPE", "bfloat16"))
     bundle = zoo.fold_bundle(zoo.random_32m_bundle(seed=0))
     log_nm = jnp.asarray(bundle.log_normmats())
     bundle = jax.tree.map(
-        lambda x: x.astype(jnp.bfloat16)
+        lambda x: x.astype(dtype)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
         bundle,
     )
@@ -59,9 +61,9 @@ def main():
         lambda b, s: ms._encode_32mb_jit(b, geom, s), bundle, seq,
     )
 
-    enc_crop = jnp.zeros((2, 250, 128), jnp.bfloat16)
+    enc_crop = jnp.zeros((2, 250, 128), dtype)
     start_bins = jnp.zeros((2,), jnp.int32)
-    coarse = jnp.zeros((2, 125, 125, 1), jnp.bfloat16)
+    coarse = jnp.zeros((2, 125, 125, 1), dtype)
     args = (jnp.int32(32), log_nm[0], start_bins, jnp.float32(0.0),
             jnp.float32(0.0))
 
@@ -86,7 +88,7 @@ def main():
     timeit(
         "crop rows",
         lambda e, s: ms._crop_rows_jit(e, s, 250),
-        jnp.zeros((2, 8000, 128), jnp.bfloat16), start_bins,
+        jnp.zeros((2, 8000, 128), dtype), start_bins,
     )
 
 
